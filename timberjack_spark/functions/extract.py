@@ -1,0 +1,113 @@
+"""Expression-based parse/projection stage (the JVM fast path).
+
+Lifts a raw text column into the engine's parsed columns using only built-in
+Catalyst expressions (``regexp_extract``, ``get_json_object``, ``split`` — all
+whole-stage-codegen'd), so the hot path never leaves the JVM. The vectorized
+pandas-UDF twin lives in :mod:`timberjack_spark.functions.grok`; a pytest pins
+the two to identical output.
+
+Semantics mirror the reference parsers:
+* generic: /root/reference/src/parser/generic.rs:28-58 (level group-0/group-1
+  quirk, 13-char timestamp truncation),
+* json: /root/reference/src/parser/json.rs:125-149 (first-present-key lookup,
+  malformed JSON -> nulls),
+* the generic-regex fallback applied on top of parser output:
+  /root/reference/src/analyzer.rs:230-282.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .patterns import (
+    BUCKET_LEN,
+    ERROR_TYPE_RE,
+    JSON_LEVEL_KEYS,
+    JSON_MESSAGE_KEYS,
+    JSON_TIMESTAMP_KEYS,
+    LEVEL_RE,
+    TIMESTAMP_RE,
+)
+
+MODES = ("generic", "json", "auto")
+
+
+def _json_path(key: str) -> str:
+    # bracket syntax survives keys like "@timestamp"
+    return f"$['{key}']" if not key.replace("_", "").replace(".", "").isalnum() else f"$.{key}"
+
+
+def json_first(text: Column, keys: list[str]) -> Column:
+    """First-present-key JSON lookup (null when none / malformed JSON)."""
+    return F.coalesce(*[F.get_json_object(text, _json_path(k)) for k in keys])
+
+
+def generic_level(text: Column) -> Column:
+    """Level via LEVEL_RE: bracket form -> captured word; colon form -> whole
+    match including the colon; both uppercased; '' when no match."""
+    m0 = F.regexp_extract(text, LEVEL_RE, 0)
+    m1 = F.regexp_extract(text, LEVEL_RE, 1)
+    return F.when(m0 == "", F.lit("")).otherwise(F.upper(F.when(m1 == "", m0).otherwise(m1)))
+
+
+def generic_timestamp(text: Column) -> Column:
+    return F.regexp_extract(text, TIMESTAMP_RE, 1)
+
+
+def error_type(text: Column) -> Column:
+    """Leftmost error-signature match over the whole raw line ('' = no match)."""
+    return F.regexp_extract(text, ERROR_TYPE_RE, 1)
+
+
+def message_key(text: Column) -> Column:
+    """The unique-messages key: substring between the first and second ']' of the
+    RAW line, trimmed; whole line when the line has fewer than two ']'-separated
+    parts (reference: src/analyzer.rs:349-355 — applied to the raw matched line
+    even under the JSON parser)."""
+    parts = F.split(text, r"\]")
+    return F.when(F.size(parts) >= 2, F.trim(F.element_at(parts, 2))).otherwise(text)
+
+
+def is_jsonish(text: Column) -> Column:
+    """Row-level analog of the reference's sampled format detection: a trimmed
+    line framed by braces takes the JSON parse path (invalid JSON inside still
+    falls back per-field, matching parse-failure -> generic-fallback)."""
+    t = F.trim(text)
+    return t.startswith("{") & t.endswith("}")
+
+
+def parsed_columns(text: Column, mode: str = "auto") -> dict[str, Column]:
+    """The engine's parse projection: level, ts_raw, bucket, message, error_type, msg_key."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}")
+    g_level, g_ts = generic_level(text), generic_timestamp(text)
+    j_level = json_first(text, JSON_LEVEL_KEYS)
+    j_ts = json_first(text, JSON_TIMESTAMP_KEYS)
+    j_msg = json_first(text, JSON_MESSAGE_KEYS)
+
+    if mode == "generic":
+        level, ts_raw, message = g_level, g_ts, text
+    else:
+        use_json = F.lit(True) if mode == "json" else is_jsonish(text)
+        # analyzer.rs:230-245: parser level, else generic regex on the raw line.
+        level = F.when(use_json & j_level.isNotNull(), j_level).otherwise(g_level)
+        # analyzer.rs:274-281: parser ts, else generic regex on the raw line.
+        ts_raw = F.when(use_json & j_ts.isNotNull(), j_ts).otherwise(g_ts)
+        message = F.when(use_json & j_msg.isNotNull(), j_msg).otherwise(text)
+
+    bucket = F.substring(ts_raw, 1, BUCKET_LEN)
+    return {
+        "level": level,
+        "ts_raw": ts_raw,
+        "bucket": bucket,
+        "message": message,
+        "error_type": error_type(text),
+        "msg_key": message_key(text),
+    }
+
+
+def with_parsed(df: DataFrame, text_col: str = "text", mode: str = "auto") -> DataFrame:
+    """Append the parse projection to ``df`` (one codegen stage, zero shuffles)."""
+    cols = parsed_columns(F.col(text_col), mode)
+    return df.withColumns(cols)

@@ -1,0 +1,64 @@
+"""Canonical regex patterns of the engine.
+
+Semantics mirror the reference analyzer exactly (see /root/reference/src/analyzer.rs:16-28
+and /root/reference/src/parser/generic.rs:5-13), but every pattern here is written in the
+portable subset shared by Java regex (Spark), Python ``re`` (pandas UDFs) and RE2 (the
+DuckDB oracle): scoped ``(?i:...)`` groups instead of mid-pattern ``(?i)`` flags, no
+lookaround, no backreferences. That pinning is what makes per-turn text equality hold
+across the three dialects (SURVEY.md §7.3).
+"""
+
+# Level extraction. Two alternatives, leftmost match wins:
+#   * bracket form  "[ERROR]"  -> capture group 1 = the level word (later uppercased);
+#   * colon form    "error:"   -> group 1 absent, whole match INCLUDING the colon is the
+#     level (later uppercased), so "ERROR:" never equals a level filter "ERROR".
+# This colon quirk is observable in the reference's histograms and is replicated
+# deliberately (reference: src/parser/generic.rs:6-8, tests/edge_cases.rs:171-201).
+LEVEL_RE = (
+    r"\[(?i:(ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE))\]"
+    r"|(?i:ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE):"
+)
+
+# Timestamp extraction: space-separated date-time only (the ISO 'T' form deliberately
+# does NOT match — JSON timestamps come from the JSON fields instead).
+# Reference: src/parser/generic.rs:10-12.
+TIMESTAMP_RE = r"(\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})"
+
+# Error-signature extraction: first (leftmost) match over the WHOLE line, applied to all
+# matched lines regardless of level. Reference: src/analyzer.rs:25-28.
+ERROR_TYPE_RE = (
+    r"([A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+\s+timeout"
+    r"|Connection timeout|500 Internal Server Error|401 Unauthorized"
+    r"|503 Service Unavailable)"
+)
+
+# Anomaly tokens for the router's `anomalies` category (north-star addition; no
+# reference analog — FIXTURES.md §3).
+ANOMALY_RE = r"(timeout|OutOfMemoryError|rate limit exceeded)"
+
+# JSON key fallback orders, first present key wins (reference: src/parser/json.rs:9-15).
+JSON_TIMESTAMP_KEYS = ["timestamp", "time", "@timestamp", "date", "datetime"]
+JSON_LEVEL_KEYS = ["level", "severity", "loglevel", "log_level", "@level"]
+JSON_MESSAGE_KEYS = ["message", "msg", "text", "description", "content"]
+
+# The hour bucket is the first 13 characters of the timestamp STRING
+# ("YYYY-MM-DD HH"; JSON ISO timestamps keep the 'T': "2025-03-21T14").
+# Reference: src/analyzer.rs:327-335.
+BUCKET_LEN = 13
+
+# Regex metacharacters that route a pattern to the regex matcher instead of the
+# (much faster) literal `contains` fast path. Reference: src/analyzer.rs:170-208.
+COMPLEX_PATTERN_CHARS = set("*?[(|+.^$\\")
+
+# Memory caps carried over from the reference (src/analyzer.rs:13, src/parser/json.rs:62).
+MAX_STORED_LINES = 10_000
+MAX_JSON_FIELDS = 100
+
+
+def is_complex_pattern(pattern: str) -> bool:
+    """True when the pattern needs a real regex; False -> literal substring fast path.
+
+    Mirrors the reference's matcher-selection logic; in Spark terms the fast path emits
+    ``Column.contains`` (codegen'd StringContains) and the slow path ``rlike``.
+    """
+    return any(c in COMPLEX_PATTERN_CHARS for c in pattern)
