@@ -23,7 +23,10 @@ Row grammar (deterministic in i):
   conversation owning 10% of the corpus, to exercise salting); the rest are dense
   20-turn conversations.
 * role cycles [user, assistant, system, tool] by i%4; tool cycles
-  ["", search, calculator, db_query, http_get] by i%5; ts = 2025-03-21T00:00:00Z + i s.
+  ["", search, calculator, db_query, http_get] by (i//7)%5 — the //7 stride
+  desynchronizes tool from the level (i%5) and template (i%20) cycles so every
+  (level, tool, template) combination occurs and all four router sinks are
+  non-empty; ts = 2025-03-21T00:00:00Z + i s.
 * text payload by i%13: 3 -> JSON log line, 7 -> colon-form level line (level quirk),
   11 -> malformed line (no level/timestamp), else bracket-form plaintext
   ``YYYY-MM-DD HH:MM:SS,mmm [LEVEL] MESSAGE``.
@@ -85,6 +88,10 @@ FIXTURE_DIR = os.environ.get(
 # sf -> transcript row count (tracks the driver's lineitem scale: ~6k/60k/600k).
 SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
+# Bump whenever the generation grammar changes — versioned filenames invalidate
+# previously materialized fixture parquet.
+FIXTURE_VERSION = 2
+
 
 def n_rows_for_sf(sf_dir: str) -> int:
     """Map a driver sf directory (e.g. /root/testdata/sf0.01) to a fixture size."""
@@ -118,7 +125,7 @@ def transcripts_pandas(n: int) -> pd.DataFrame:
     i = np.arange(n, dtype=np.int64)
     conv, turn = _conv_turn(i, n)
     role = np.array(ROLES)[i % 4]
-    tool = np.array(TOOLS)[i % 5]
+    tool = np.array(TOOLS)[(i // 7) % 5]
     ts = BASE_TS + i.astype("timedelta64[s]")
     lv = _levels_for(i)
     msg = np.array(TEMPLATES)[i % 20]
@@ -203,7 +210,7 @@ def transcripts_path(sf_dir_or_name: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir_or_name))
     n = SF_ROWS.get(name, 60_000)
     os.makedirs(FIXTURE_DIR, exist_ok=True)
-    path = os.path.join(FIXTURE_DIR, f"transcripts_{name}.parquet")
+    path = os.path.join(FIXTURE_DIR, f"transcripts_{name}_v{FIXTURE_VERSION}.parquet")
     if not os.path.exists(path):
         pq.write_table(transcripts_arrow(n), path)
     return path
@@ -275,7 +282,9 @@ def transcripts_df(spark: SparkSession, n: int, partitions: int | None = None) -
     )
     turn = F.when(i < n_skew, i).otherwise(j % TURNS_PER_CONV).cast("int")
     role = F.element_at(F.array(*[F.lit(r) for r in ROLES]), (i % 4 + 1).cast("int"))
-    tool = F.element_at(F.array(*[F.lit(t) for t in TOOLS]), (i % 5 + 1).cast("int"))
+    tool = F.element_at(
+        F.array(*[F.lit(t) for t in TOOLS]), (F.floor(i / 7) % 5 + 1).cast("int")
+    )
     ts = F.to_timestamp(F.lit("2025-03-21 00:00:00")) + F.make_dt_interval(secs=i.cast("double"))
     spike = (i >= SPIKE_START) & (i < SPIKE_END)
     lv = F.when(spike, F.lit("ERROR")).otherwise(

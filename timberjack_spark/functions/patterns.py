@@ -34,7 +34,7 @@ ERROR_TYPE_RE = (
 
 # Anomaly tokens for the router's `anomalies` category (north-star addition; no
 # reference analog — FIXTURES.md §3).
-ANOMALY_RE = r"(timeout|OutOfMemoryError|rate limit exceeded)"
+ANOMALY_RE = r"(timeout|OutOfMemoryError|rate limit exceeded|query took)"
 
 # JSON key fallback orders, first present key wins (reference: src/parser/json.rs:9-15).
 JSON_TIMESTAMP_KEYS = ["timestamp", "time", "@timestamp", "date", "datetime"]

@@ -1,0 +1,73 @@
+"""Router: derive a category per turn and fan rows out to per-category sinks.
+
+Categories (FIXTURES.md §3, first match wins):
+  errors     — extracted level in {ERROR, SEVERE} OR an error-signature match
+  tool-calls — an actual tool invocation (tool != '' or role == 'tool')
+  anomalies  — anomaly tokens in the text without an error-level
+  dialogue   — everything else
+
+The fan-out itself is the idiomatic single-pass design (SURVEY.md §4.2): ONE
+write partitioned by ``category`` — Spark has no multi-insert, and N filtered
+writes would scan the source N times. Per-sink counts come from the same pass
+via ``groupBy(category)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.patterns import ANOMALY_RE
+
+CATEGORIES = ["errors", "tool-calls", "anomalies", "dialogue"]
+
+
+def category_col(
+    level: Column = None, error_type: Column = None, tool: Column = None,
+    role: Column = None, text: Column = None,
+) -> Column:
+    level = level if level is not None else F.col("level")
+    error_type = error_type if error_type is not None else F.col("error_type")
+    tool = tool if tool is not None else F.col("tool")
+    role = role if role is not None else F.col("role")
+    text = text if text is not None else F.col("text")
+    return (
+        F.when(F.upper(level).isin("ERROR", "SEVERE") | (error_type != ""), F.lit("errors"))
+        .when((tool != "") | (role == "tool"), F.lit("tool-calls"))
+        .when(text.rlike(ANOMALY_RE), F.lit("anomalies"))
+        .otherwise(F.lit("dialogue"))
+    )
+
+
+def with_category(df: DataFrame) -> DataFrame:
+    """Requires the parse projection (level/error_type columns) to be present."""
+    return df.withColumn("category", category_col())
+
+
+def sink_counts(df: DataFrame) -> DataFrame:
+    """Per-sink routed-row counts (the parity contract with the reference's
+    per-category aggregates), deterministic order."""
+    return (
+        df.groupBy("category").agg(F.count(F.lit(1)).alias("cnt")).orderBy("category")
+    )
+
+
+def fan_out_write(df: DataFrame, base_path: str, mode: str = "overwrite") -> dict[str, int]:
+    """Single-pass fan-out: write once, partitioned by category.
+
+    On Iceberg deployments this is the same plan against a partitioned Iceberg
+    table (``df.writeTo(tbl).overwritePartitions()``); the sandbox has no
+    Iceberg runtime jar, so the file-based sink keeps the identical layout
+    (``category=<sink>/`` directories). Returns per-sink row counts observed in
+    the written data (read back — an end-to-end check, not a trust-me counter).
+    """
+    (
+        df.write.mode(mode)
+        .partitionBy("category")
+        .parquet(os.path.join(base_path, "routed"))
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(os.path.join(base_path, "routed"))
+    return {r["category"]: r["cnt"] for r in sink_counts(written).collect()}

@@ -1,0 +1,117 @@
+"""Exactly-once resumable fan-out with a per-partition progress ledger.
+
+Design (SURVEY.md §4 item 4): the unit of recoverable progress is a *bucket* —
+``pmod(xxhash64(conv_id), n_buckets)`` — so progress is content-addressed and
+identical across runs/cluster sizes. A run:
+
+1. reads the ledger (tiny JSON marker per completed bucket — the file-based
+   stand-in for Iceberg snapshot metadata; on Iceberg the commit itself is the
+   marker and step 3 is ``overwritePartitions``);
+2. processes ONLY incomplete buckets, in one distributed pass, writing
+   ``bucket=K/category=C/`` partitions with dynamic partition overwrite
+   (idempotent: a re-run of a half-written bucket replaces it, never
+   duplicates);
+3. writes a ledger marker per finished bucket, including its routed-row counts
+   (the per-partition lineage/metrics record).
+
+Killing the job between 2 and 3 re-does at most the unmarked buckets; marked
+buckets are never rewritten. Counts are exact-once by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LEDGER_DIR = "_ledger"
+
+
+def bucket_col(key: str = "conv_id", n_buckets: int = 8):
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(base_path: str) -> dict[int, dict]:
+    ledger = os.path.join(base_path, LEDGER_DIR)
+    out: dict[int, dict] = {}
+    if os.path.isdir(ledger):
+        for f in os.listdir(ledger):
+            if f.startswith("bucket-") and f.endswith(".json"):
+                with open(os.path.join(ledger, f)) as fh:
+                    rec = json.load(fh)
+                out[rec["bucket"]] = rec
+    return out
+
+
+def _mark_complete(base_path: str, bucket: int, counts: dict[str, int], elapsed: float) -> None:
+    ledger = os.path.join(base_path, LEDGER_DIR)
+    os.makedirs(ledger, exist_ok=True)
+    tmp = os.path.join(ledger, f".bucket-{bucket}.json.tmp")
+    rec = {
+        "bucket": bucket,
+        "counts": counts,
+        "rows": sum(counts.values()),
+        "elapsed_sec": round(elapsed, 3),
+        "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, os.path.join(ledger, f"bucket-{bucket}.json"))  # atomic commit
+
+
+def run_resumable_fanout(
+    df: DataFrame,
+    base_path: str,
+    n_buckets: int = 8,
+    commit_group_size: int | None = None,
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Route ``df`` (must already carry a ``category`` column) to
+    ``base_path/data/bucket=K/category=C``, resumably.
+
+    ``commit_group_size`` buckets are written per commit (one distributed pass
+    each — the Iceberg-commit granularity knob). Default: ALL incomplete
+    buckets in a single pass, i.e. exactly one source scan on a clean run;
+    smaller groups buy finer-grained resume at the cost of extra scans.
+    ``fail_after_groups`` injects a crash (test hook for the resume contract).
+    Returns {"processed": [...], "skipped": [...], "counts": {...}}.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = completed_buckets(base_path)
+    data_path = os.path.join(base_path, "data")
+
+    bdf = df.withColumn("bucket", bucket_col(n_buckets=n_buckets))
+    todo = [b for b in range(n_buckets) if b not in done]
+    group = commit_group_size or max(len(todo), 1)
+    groups = [todo[i : i + group] for i in range(0, len(todo), group)]
+    processed = []
+    for gi, ks in enumerate(groups):
+        if fail_after_groups is not None and gi >= fail_after_groups:
+            raise RuntimeError(f"injected failure after {fail_after_groups} commit groups")
+        t0 = time.time()
+        part = bdf.filter(F.col("bucket").isin(ks))
+        # dynamic overwrite: replaces exactly the bucket in ks/category=* partitions
+        part.write.mode("overwrite").partitionBy("bucket", "category").parquet(data_path)
+        per_bucket = (
+            spark.read.parquet(data_path)
+            .filter(F.col("bucket").isin(ks))
+            .groupBy("bucket", "category")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        elapsed = time.time() - t0
+        for k in ks:
+            counts = {r["category"]: r["cnt"] for r in per_bucket if r["bucket"] == k}
+            _mark_complete(base_path, k, counts, elapsed / len(ks))
+            processed.append(k)
+
+    all_done = completed_buckets(base_path)
+    totals: dict[str, int] = {}
+    for rec in all_done.values():
+        for c, n in rec["counts"].items():
+            totals[c] = totals.get(c, 0) + n
+    return {"processed": processed, "skipped": sorted(done), "counts": totals}
