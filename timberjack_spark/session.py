@@ -42,7 +42,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # 16m locally: test/bench files are tens of MB and must still split into
+        # enough tasks to exercise all cores; on a real cluster reading 100 TB
+        # you would leave this at the 128m default (fewer, fuller tasks).
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,182 @@
+"""Structured Streaming flavor of the parse -> route -> aggregate pipeline.
+
+The reference's stdin loop (/root/reference/src/main.rs:218-297) is a
+single-threaded line stream; the Spark-native analog is the SAME DataFrame
+program bound to ``readStream`` — one logic, two execution modes. Late data is
+handled with a watermark on ``ts``; windowed level counts mirror the batch
+trend histogram (A4) under event-time semantics.
+
+``conv_session_stats`` demonstrates a custom stateful operator
+(``applyInPandasWithState``): per-conversation running statistics with a
+processing-time timeout that flushes idle conversations — the streaming
+equivalent of the per-conversation aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.extract import with_parsed
+from ..operators.route import with_category
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def stream_source(spark: SparkSession, src_dir: str, max_files: int = 4) -> DataFrame:
+    """File-stream source over a transcript parquet directory (the sandbox
+    stand-in for a Kafka/Iceberg-changelog source)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+
+
+def routed_stream(src: DataFrame) -> DataFrame:
+    """The batch parse+route program applied unchanged to a stream.
+
+    ``ts`` is cast NTZ -> TIMESTAMP (session TZ is pinned UTC, so the instant
+    is unchanged) because watermarks require an instant-typed event time.
+    """
+    return with_category(with_parsed(src.withColumn("ts", F.col("ts").cast("timestamp"))))
+
+
+def windowed_level_counts(
+    parsed: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time windowed level histogram with late-data watermark."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("level"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").cast("timestamp_ntz").alias("win_start"), "level", "cnt")
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    src_dir: str,
+    query_name: str = "stream_levels",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain the source with an availableNow trigger into a memory sink and
+    return the result table — used to pin stream==batch equivalence in tests."""
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_stream_ckpt_")
+    q = (
+        windowed_level_counts(routed_stream(stream_source(spark, src_dir)))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = "n_turns LONG, n_errors LONG, last_turn_idx LONG"
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+        T.StructField("last_turn_idx", T.LongType()),
+    ]
+)
+
+
+def _make_update_fn(idle_timeout_ms: int | None):
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            # idle conversation: flush final stats and drop the state —
+            # crucially do NOT re-arm the timeout, or an availableNow drain
+            # would keep scheduling empty batches forever
+            n_turns, n_errors, last_idx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "n_turns": [n_turns],
+                 "n_errors": [n_errors], "last_turn_idx": [last_idx]}
+            )
+            return
+        n_turns, n_errors, last_idx = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_errors += int((pdf["category"] == "errors").sum())
+            if len(pdf):
+                last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_errors, last_idx))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "n_turns": [n_turns],
+             "n_errors": [n_errors], "last_turn_idx": [last_idx]}
+        )
+
+    return update
+
+
+def conv_session_stats(parsed: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Stateful per-conversation running stats via applyInPandasWithState.
+
+    ``idle_timeout_ms`` enables processing-time timeouts for continuous
+    deployments (flush + evict idle conversations); leave None for bounded
+    drains (availableNow), where a re-armed timeout would prevent termination.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        parsed.select("conv_id", "turn_idx", "category")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_update_fn(idle_timeout_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_session_stats_once(
+    spark: SparkSession,
+    src_dir: str,
+    query_name: str = "conv_sessions",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_sess_ckpt_")
+    q = (
+        conv_session_stats(routed_stream(stream_source(spark, src_dir)))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
