@@ -75,6 +75,14 @@ def test_show_unique_sorted(spark, corpus):
     assert doc["stats"]["unique_messages"] == sorted(expected["unique_messages"])
 
 
+def test_empty_lines_dropped(spark):
+    # F7 — the reference's line splitter never yields empty lines
+    df = spark.createDataFrame([("",), ("2025-03-21 10:00:00,1 [ERROR] x",)], "text string")
+    doc = collect_report(analyze(df, LogQuery()), LogQuery())
+    assert doc["total_count"] == 1
+    assert {r["level"] for r in doc["stats"]["log_levels"]} == {"ERROR"}
+
+
 def test_empty_input_ratio_zero(spark):
     df = spark.createDataFrame([], "text string")
     q = LogQuery()

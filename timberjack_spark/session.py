@@ -30,8 +30,19 @@ def get_spark(
     """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    # Pin JVM service threads (GC, JIT) to the advertised core count: a
+    # local[8] session on a 32-CPU box otherwise runs 32 GC threads — free
+    # extra CPUs a real 8-core executor would not have, which silently inflates
+    # low-parallelism throughput and skews N-vs-4N scaling comparisons.
+    gc_threads = max(cores, 2)
+    java_opts = (
+        f"-XX:ParallelGCThreads={gc_threads} "
+        f"-XX:ConcGCThreads={max(gc_threads // 4, 1)} "
+        f"-XX:CICompilerCount={max(min(cores, 4), 2)}"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.driver.extraJavaOptions", java_opts)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -40,7 +51,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver-only JVM: give it real heap (32 executor threads
+        # allocating parse buffers GC-thrash an 8g heap; box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # 16m locally: test/bench files are tens of MB and must still split into
         # enough tasks to exercise all cores; on a real cluster reading 100 TB
