@@ -307,7 +307,9 @@ def _q_simhash_pairs(spark, sf_dir):
     from timberjack_spark.operators.dedup import simhash_near_dups
 
     d = _tbl(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=10)
+    # tight hamming radius: the synthetic docs share one small vocabulary, so
+    # loose radii legitimately match tens of thousands of pairs
+    return simhash_near_dups(d, max_hamming=4)
 
 
 def _q_brute_topk(spark, sf_dir):
@@ -329,6 +331,38 @@ def _q_media_features(spark, sf_dir):
 
     d = _tbl(spark, sf_dir, "documents")
     return extract_features(synthesize_media(d)).select("media_id", "kind", "n_bytes", "sha256")
+
+
+_STREAM_SEQ = [0]
+
+
+def _q_stream_level_counts(spark, sf_dir):
+    """Structured-Streaming drain of the windowed level histogram — verified
+    against the BATCH oracle SQL (stream==batch is the engine's contract)."""
+    from timberjack_spark.fixtures import transcripts_stream_dir
+    from timberjack_spark.streaming.pipeline import run_stream_once
+
+    _STREAM_SEQ[0] += 1
+    return run_stream_once(
+        spark, transcripts_stream_dir(sf_dir), query_name=f"q_stream_lv_{_STREAM_SEQ[0]}"
+    )
+
+
+def _q_stream_conv_sessions(spark, sf_dir):
+    """applyInPandasWithState conversation stats, drained and reduced to final
+    state per conversation — oracle is plain batch SQL."""
+    from timberjack_spark.fixtures import transcripts_stream_dir
+    from timberjack_spark.streaming.pipeline import run_session_stats_once
+
+    _STREAM_SEQ[0] += 1
+    out = run_session_stats_once(
+        spark, transcripts_stream_dir(sf_dir), query_name=f"q_stream_sess_{_STREAM_SEQ[0]}"
+    )
+    return out.groupBy("conv_id").agg(
+        F.max("n_turns").alias("n_turns"),
+        F.max("n_errors").alias("n_errors"),
+        F.max("last_turn_idx").alias("last_turn_idx"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -366,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_brute_topk": _q_brute_topk,
         "e_lsh_topk": _q_lsh_topk,                # rows-only (approximate)
         "m_media_features": _q_media_features,
+        "s_stream_level_counts": _q_stream_level_counts,
+        "s_stream_conv_sessions": _q_stream_conv_sessions,
     }
 
 
@@ -431,7 +467,10 @@ def _jaccard_pairs_sql(threshold: float = 0.12) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from timberjack_spark.fixtures import transcripts_stream_dir
+
     tp = transcripts_path("sf0.01")
+    sp = os.path.join(transcripts_stream_dir("sf0.01"), "*.parquet")
     role_p, tool_p = dim_path("dim_role"), dim_path("dim_tool")
     T = f"SELECT * FROM read_parquet('{tp}')"
     P = osql.parsed_cte(T)
@@ -543,6 +582,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored)
             WHERE rank <= 3""",
+        "s_stream_level_counts": f"""{osql.parsed_cte(f"SELECT * FROM read_parquet('{sp}')")}
+            SELECT date_trunc('hour', ts) AS win_start, level, count(*) AS cnt
+            FROM parsed GROUP BY 1, 2""",
+        "s_stream_conv_sessions": f"""{osql.parsed_cte(f"SELECT * FROM read_parquet('{sp}')")}
+            SELECT conv_id, count(*) AS n_turns,
+                   sum(CASE WHEN {osql.category_sql()} = 'errors' THEN 1 ELSE 0 END) AS n_errors,
+                   max(turn_idx)::BIGINT AS last_turn_idx
+            FROM parsed GROUP BY conv_id""",
         "m_media_features": """SELECT doc_id AS media_id,
             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
             octet_length(encode(text)) AS n_bytes,

@@ -1,0 +1,51 @@
+"""Fluent API == LogQuery pipeline equivalence + CLI-surface behaviors."""
+
+import pytest
+
+import oracle_ref
+from timberjack_spark.api import Timber
+from timberjack_spark.fixtures import transcripts_pandas, transcripts_path
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = transcripts_pandas(2600)
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_chop_level_field_chain(spark, corpus):
+    pdf, df = corpus
+    t = Timber.over(df).chop("ERROR").level("ERROR").field("service", "api")
+    expected = oracle_ref.analyze_lines(
+        pdf["text"], pattern="ERROR", level="ERROR", fields={"service": "api"}
+    )
+    assert t.count() == expected["count"]
+
+
+def test_report_shape(spark, corpus):
+    _, df = corpus
+    doc = Timber.over(df).chop("Cache").trend().stats(show_unique=True).report()
+    assert set(doc) == {"matched_lines", "total_count", "time_trends", "stats", "deduplicated"}
+    assert doc["stats"]["unique_messages"] == sorted(doc["stats"]["unique_messages"])
+    text = Timber.over(df).chop("Cache").stats().report_text()
+    assert f"Felled: {doc['total_count']} logs" in text
+
+
+def test_immutability(spark, corpus):
+    _, df = corpus
+    base = Timber.over(df)
+    a, b = base.chop("ERROR"), base.chop("WARN")
+    assert a.pattern == "ERROR" and b.pattern == "WARN" and base.pattern is None
+
+
+def test_read_and_detect(spark):
+    t = Timber.read(spark, transcripts_path("sf0.001"), fmt="detect")
+    assert t.mode == "generic"  # mixed corpus, ~1/13 JSON
+    assert t.count() == 6000
+
+
+def test_route_to(spark, corpus, tmp_path):
+    _, df = corpus
+    out = Timber.over(df.drop("ts")).route_to(str(tmp_path / "sinks"), n_buckets=4)
+    assert sum(out["counts"].values()) == 2600
+    assert set(out["counts"]) == {"errors", "tool-calls", "anomalies", "dialogue"}

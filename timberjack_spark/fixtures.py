@@ -218,6 +218,25 @@ def transcripts_path(sf_dir_or_name: str) -> str:
     return path
 
 
+def transcripts_stream_dir(sf_dir_or_name: str, n_files: int = 4) -> str:
+    """Directory form of the fixture (same rows, split into n_files parts) for
+    ``readStream`` sources; DuckDB oracles read the same files via glob."""
+    name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    n = SF_ROWS.get(name, 60_000)
+    path = os.path.join(FIXTURE_DIR, f"transcripts_stream_{name}_v{FIXTURE_VERSION}")
+    if not os.path.isdir(path):
+        os.makedirs(path, exist_ok=True)
+        tbl = transcripts_arrow(n)
+        step = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            pq.write_table(
+                tbl.slice(i * step, step),
+                os.path.join(path, f"part-{i:03d}.parquet"),
+                row_group_size=25_000,
+            )
+    return path
+
+
 def bench_transcripts_dir(spark: SparkSession, n: int, partitions: int | None = None) -> str:
     """Multi-file parquet corpus for throughput benchmarks, written once by the
     DISTRIBUTED generator — many input splits, the shape a real cluster reads.

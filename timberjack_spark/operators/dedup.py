@@ -60,12 +60,46 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(sh: Column, k: int = 64) -> Column:
-    """k minhashes: min over shingles of xxhash64(shingle, seed_j). Seeded
-    xxhash64 replaces the classic (a*x+b) mod p family — same independence in
-    practice, zero driver state."""
+    """k minhashes via JVM expressions: min over shingles of xxhash64(shingle,
+    seed_j). Exact but interpreted per element — O(k * |shingles|) lambda
+    evaluations; prefer :func:`make_minhash_udf` (vectorized Arrow batch) for
+    large corpora."""
     return F.array(
         *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j)))) for j in range(k)]
     )
+
+
+def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 42):
+    """Arrow-batched minhash: tokenize + shingle + hash + k-way min per batch
+    in numpy. One md5 per distinct shingle, then an affine family
+    (a_j * h + b_j mod 2^64) gives the k permutations as a single (k, |sh|)
+    matrix min. Tokenization matches shingles(): lower, whitespace split, word
+    n-grams, whole trimmed text when shorter than n tokens."""
+    import hashlib
+
+    rng = np.random.RandomState(seed)
+    A = (rng.randint(1, 2**62, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1))
+    B = rng.randint(0, 2**63, size=k, dtype=np.uint64)
+
+    def h64(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text.fillna(""):
+            toks = t.lower().split()
+            grams = (
+                {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                if len(toks) >= n
+                else {t.lower().strip()}
+            )
+            H = np.fromiter((h64(g) for g in grams), dtype=np.uint64, count=len(grams))
+            mins = (A[:, None] * H[None, :] + B[:, None]).min(axis=1)  # uint64 wrap-mix
+            out.append(mins.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_near_dups(
@@ -86,8 +120,12 @@ def minhash_near_dups(
     S-curve crosses ~0.5 at s≈(1/b)^(1/r)≈0.5 — recall at 0.7 is ~0.99.
     """
     r = k // bands
-    base = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
-    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    # candidate generation: vectorized Arrow minhash over the raw text.
+    # persisted: the plan fans out (bands self-join a/b + verification) and
+    # would otherwise re-run the signature UDF once per branch
+    sig = df.select(
+        F.col(id_col).alias("_id"), make_minhash_udf(k, n)(F.col(text_col)).alias("_sig")
+    ).persist()
     banded = sig.select(
         "_id",
         F.explode(
@@ -108,7 +146,14 @@ def minhash_near_dups(
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
-    )
+    ).persist()  # feeds the id semi-join AND the verify join
+    # exact-Jaccard verification: shingle arrays (JVM exprs) computed ONLY for
+    # ids that appear in a candidate pair (semi-join prune), not the corpus
+    base = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
+    cand_ids = candidates.select(F.col("id_a").alias("_id")).union(
+        candidates.select(F.col("id_b").alias("_id"))
+    ).distinct()
+    base = base.join(cand_ids, "_id", "left_semi")
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     verified = (
@@ -136,26 +181,28 @@ def minhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
-def _simhash64(tokens: list[str]) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = np.int64(np.uint64(hash_str64(t)))
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(np.int64(out))
-
-
 def hash_str64(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (process-independent, unlike Python hash)."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic, well-distributed 64-bit token hash (md5 prefix; C speed,
+    process-independent unlike Python's seeded hash()). NOTE: do not build the
+    64 bits from two crc32 variants — CRC is affine in its init value, so
+    crc32(b, 0) and crc32(b, 1) differ by a length-only constant and the
+    resulting simhash bits degenerate (measured: 128x more false candidates)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_BIT_VAL = (np.uint64(1) << _BIT_IDX).astype(np.uint64)
+
+
+def _simhash64(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    hs = np.fromiter((hash_str64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    bits = (hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)  # (n_tokens, 64)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(np.int64((_BIT_VAL * (acc > 0)).sum(dtype=np.uint64)))
 
 
 @pandas_udf(T.LongType())

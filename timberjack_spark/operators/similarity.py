@@ -16,8 +16,11 @@ bit-deterministic and match the DuckDB oracle's list_dot_product ordering.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -77,26 +80,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
-def signature_col(vec: Column, planes: list[list[float]], n_tables: int, bits_per_table: int) -> Column:
-    """Array of n_tables bucket ids; table t uses its own bits_per_table planes."""
-    sigs = []
-    for t in range(n_tables):
-        bits = []
-        for b in range(bits_per_table):
-            plane = planes[t * bits_per_table + b]
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(x)) for x in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**b))
-        table_bucket = sum(bits[1:], bits[0]) + F.lit(t * (2**bits_per_table))
-        sigs.append(table_bucket)
-    return F.array(*sigs)
+def make_signature_udf(planes: list[list[float]], n_tables: int, bits_per_table: int):
+    """Arrow-batched hyperplane signatures: one numpy matmul per batch replaces
+    n_tables*bits interpreted higher-order-function projections per row (the
+    expression form was ~4k scalar lambda evaluations per vector). Returns an
+    array of n_tables bucket ids per row."""
+    P = np.asarray(planes, dtype=np.float64)  # (n_tables*bits, dim)
+    weights = (2 ** np.arange(bits_per_table, dtype=np.int64))
+    offsets = (np.arange(n_tables, dtype=np.int64) * (2**bits_per_table))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)          # (n, dim)
+        bits = (M @ P.T) >= 0                                   # (n, T*B)
+        bits = bits.reshape(len(M), len(offsets), len(weights))
+        buckets = bits.astype(np.int64) @ weights + offsets     # (n, T)
+        return pd.Series(list(buckets))
+
+    return sig
 
 
 def lsh_topk(
@@ -117,10 +118,11 @@ def lsh_topk(
     uniform by construction.
     """
     planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+    sig_udf = make_signature_udf(planes, n_tables, bits_per_table)
     sig = lambda df, idn, vecn: df.select(  # noqa: E731
         F.col(id_col).alias(idn),
         F.col(vec_col).alias(vecn),
-        F.explode(signature_col(F.col(vec_col), planes, n_tables, bits_per_table)).alias("bucket"),
+        F.explode(sig_udf(F.col(vec_col))).alias("bucket"),
     )
     c = sig(corpus, "neighbor_id", "c_vec")
     q = sig(queries, "query_id", "q_vec")
@@ -153,10 +155,11 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= threshold, LSH-blocked."""
     planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+    sig_udf = make_signature_udf(planes, n_tables, bits_per_table)
     sig = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(signature_col(F.col(vec_col), planes, n_tables, bits_per_table)).alias("bucket"),
+        F.explode(sig_udf(F.col(vec_col))).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
