@@ -231,6 +231,61 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+def _q_top3_parts_per_brand(spark, sf_dir):
+    """Per-group top-k via ranked window (partitioned — no global-window hazard)."""
+    p = _tbl(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "rnk", "p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+def _q_orders_rollup(spark, sf_dir):
+    """ROLLUP over (status, priority): super-aggregate rows with NULL keys."""
+    o = _tbl(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def _q_lineitem_running(spark, sf_dir):
+    """Per-supplier running quantity by ship date (deterministic total order)."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+def _q_mktsegment_pivot(spark, sf_dir):
+    """Pivot: order counts per customer market segment x order status."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "c_mktsegment",
+            F.col("F").alias("cnt_f"),
+            F.col("O").alias("cnt_o"),
+            F.col("P").alias("cnt_p"),
+        )
+    )
+
+
 def _q_doc_dedup_stats(spark, sf_dir):
     d = _tbl(spark, sf_dir, "documents")
     return d.agg(
@@ -387,6 +442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers": _q_top_customers,
         "q_events_hourly": _q_events_hourly,
         "q_events_sessions": _q_events_sessions,
+        "q_top3_parts_per_brand": _q_top3_parts_per_brand,
+        "q_orders_rollup": _q_orders_rollup,
+        "q_lineitem_running": _q_lineitem_running,
+        "q_mktsegment_pivot": _q_mktsegment_pivot,
         "d_doc_dedup_stats": _q_doc_dedup_stats,
         "d_doc_token_stats": _q_doc_token_stats,
         "t_level_histogram_grok": _q_level_histogram_grok,
@@ -540,6 +599,26 @@ def oracle_sql() -> dict[str, str]:
         "q_events_hourly": """SELECT date_trunc('hour', ts) AS hour, event_type,
             count(*) AS cnt, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2""",
+        "q_top3_parts_per_brand": """SELECT p_brand, rnk, p_partkey, p_name, price FROM (
+              SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS price,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+              FROM part)
+            WHERE rnk <= 3""",
+        "q_orders_rollup": """SELECT o_orderstatus, o_orderpriority,
+              count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "q_lineitem_running": """SELECT l_suppkey, l_orderkey, l_linenumber,
+              sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+            FROM lineitem WHERE l_suppkey < 20""",
+        "q_mktsegment_pivot": """SELECT c_mktsegment,
+              sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
+              sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
+              sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
         "q_events_sessions": """WITH g AS (
               SELECT user_id, ts,
                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

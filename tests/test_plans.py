@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the optimizations we rely on at 100 TB must
+be visible in the plan, not assumed — pushdown into the parquet scan, column
+pruning, broadcast (not sort-merge) enrich joins, partial aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timberjack_spark.fixtures import dim_role_df, dim_tool_df, transcripts_path
+from timberjack_spark.functions.extract import with_parsed
+from timberjack_spark.operators.analyze import LogQuery, matched
+from timberjack_spark.operators.enrich import enrich
+from timberjack_spark.operators.route import with_category
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return spark.read.parquet(transcripts_path("sf0.001"))
+
+
+def test_literal_pattern_pushed_to_scan(spark, src):
+    plan = plan_of(matched(src, LogQuery(pattern="ERROR")))
+    assert "PushedFilters" in plan
+    assert "StringContains(text,ERROR)" in plan.replace(" ", "").replace("'", "") or (
+        "StringContains" in plan
+    )
+
+
+def test_level_histogram_prunes_to_text_column(spark, src):
+    plan = plan_of(with_parsed(src).groupBy("level").count())
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    schema = read[0].split("ReadSchema:")[1].strip()
+    assert schema == "struct<text:string>", schema
+
+
+def test_enrich_joins_are_broadcast(spark, src):
+    e = enrich(with_category(with_parsed(src)), dim_role_df(spark), dim_tool_df(spark))
+    plan = plan_of(e.groupBy("category").count())
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_is_partial_then_final(spark, src):
+    plan = plan_of(with_parsed(src).groupBy("level").count())
+    # map-side combine (partial) before the exchange, final after — the
+    # reference's chunk-merge contract (analyzer.rs:496-549) natively
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(level" in plan
+
+
+def test_count_fast_path_prunes_aggregates(spark, src):
+    # --count analog: only the count is computed; no regex columns materialize
+    from timberjack_spark.api import Timber
+
+    df = Timber.over(src).chop("ERROR").matched().groupBy().count()
+    plan = plan_of(df)
+    assert "json_tuple" not in plan  # parse projection pruned away entirely
