@@ -381,6 +381,38 @@ def _q_lsh_topk(spark, sf_dir):
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3)
 
 
+def _q_label_centroids(spark, sf_dir):
+    from timberjack_spark.operators.similarity import label_centroids
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    return (
+        label_centroids(e)
+        .select("label", F.posexplode("centroid").alias("pos", "v"))
+        .select("label", "pos", F.round("v", 5).alias("centroid_val"))
+    )
+
+
+def _q_centroid_assign(spark, sf_dir):
+    from timberjack_spark.operators.similarity import assign_nearest_centroid, label_centroids
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    return assign_nearest_centroid(e, label_centroids(e))
+
+
+def _q_ivf_topk(spark, sf_dir):
+    from timberjack_spark.operators.similarity import ivf_topk
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_probe=3)
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    from timberjack_spark.functions.text import bpe_ish_token_count
+
+    d = _tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
 def _q_media_features(spark, sf_dir):
     from timberjack_spark.operators.multimodal import extract_features, synthesize_media
 
@@ -459,6 +491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_brute_topk": _q_brute_topk,
         "e_lsh_topk": _q_lsh_topk,                # rows-only (approximate)
         "m_media_features": _q_media_features,
+        "e_label_centroids": _q_label_centroids,
+        "e_centroid_assign": _q_centroid_assign,
+        "e_ivf_topk": _q_ivf_topk,                # rows-only (approximate probe)
+        "d_bpe_tokens": _q_bpe_tokens,
         "s_stream_level_counts": _q_stream_level_counts,
         "s_stream_conv_sessions": _q_stream_conv_sessions,
     }
@@ -661,6 +697,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored)
             WHERE rank <= 3""",
+        "e_label_centroids": """SELECT label, i - 1 AS pos,
+              round(avg(embedding[i]::DOUBLE), 5) AS centroid_val
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY label, i""",
+        "e_centroid_assign": """WITH cent AS (
+              SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS m
+              FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+            carr AS (SELECT label, array_agg(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+            scored AS (
+              SELECT e.vec_id, c.label AS cluster,
+                     round(list_dot_product(e.embedding::DOUBLE[], c.centroid) /
+                           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS cos
+              FROM embeddings e CROSS JOIN carr c)
+            SELECT vec_id, cluster, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS r
+              FROM scored)
+            WHERE r = 1""",
+        "d_bpe_tokens": r"""SELECT doc_id,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents""",
         "s_stream_level_counts": f"""{osql.parsed_cte(f"SELECT * FROM read_parquet('{sp}')")}
             SELECT date_trunc('hour', ts) AS win_start, level, count(*) AS cnt
             FROM parsed GROUP BY 1, 2""",

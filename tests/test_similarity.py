@@ -65,6 +65,35 @@ def test_lsh_recall_against_exact(spark, emb):
             assert abs(r["cos"] - exact_cos[key]) < 1e-9
 
 
+def test_ivf_assignment_and_recall(spark, emb):
+    from timberjack_spark.operators.similarity import (
+        assign_nearest_centroid,
+        ivf_topk,
+        label_centroids,
+    )
+
+    cents = label_centroids(emb)
+    n_labels = cents.count()
+    assert n_labels == emb.select("label").distinct().count()
+    assigned = assign_nearest_centroid(emb, cents)
+    assert assigned.count() == emb.count()          # every vector lands in one cell
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    # probing ALL cells must recover the exact result (IVF == brute force)
+    full = ivf_topk(emb, queries, k=5, n_probe=n_labels).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in full} == {
+        (r["query_id"], r["neighbor_id"]) for r in exact
+    }
+    # limited probes trade recall for touched cells
+    part = ivf_topk(emb, queries, k=5, n_probe=max(n_labels // 2, 1)).collect()
+    recall = len(
+        {(r["query_id"], r["neighbor_id"]) for r in part}
+        & {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ) / len(exact)
+    assert recall >= 0.4
+
+
 def test_cosine_near_dup_pairs_planted(spark):
     # plant: 100/101 identical, 102 nearly identical, rest random
     rng = np.random.RandomState(7)

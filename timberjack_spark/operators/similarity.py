@@ -143,6 +143,82 @@ def lsh_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid vectors (the coarse quantizer for IVF).
+
+    Element-wise mean via posexplode -> groupBy(label, pos) -> re-assemble:
+    fully distributed, no driver-side vectors; (label, pos) keys are uniform so
+    the shuffle cannot skew.
+    """
+    ex = df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v"))
+    per = ex.groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return (
+        per.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("z"))
+        .select("label", F.transform("z", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, cluster, cos): nearest centroid by cosine (broadcast cross join —
+    centroid count is tiny by construction), deterministic label tiebreak."""
+    cents = centroids.select(F.col("label").alias("_cl"), F.col("centroid").alias("_cv"))
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_cl").alias("cluster"),
+        F.round(cosine(F.col(vec_col), F.col("_cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
+    return scored.withColumn("_r", F.row_number().over(w)).filter("_r = 1").drop("_r")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: assign corpus to centroid cells once, probe only the
+    ``n_probe`` cells nearest each query, exact re-score inside them.
+
+    At scale the assignment is materialized/bucketed with the corpus and the
+    probe is a partition-pruned read; here both sides derive from the same
+    centroids so the test contract (recall vs brute force) is self-contained.
+    """
+    cents = label_centroids(corpus).persist()
+    assigned = assign_nearest_centroid(corpus, cents, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), "cluster"
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).join(
+        assigned, "neighbor_id"
+    )
+    cent_aliased = cents.select(F.col("label").alias("_cl"), F.col("centroid").alias("_cv"))
+    q_scored = queries.crossJoin(F.broadcast(cent_aliased)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_cl").alias("cluster"),
+        cosine(F.col(vec_col), F.col("_cv")).alias("qc"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cluster"))
+    probes = q_scored.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= n_probe)
+    cand = probes.join(c, "cluster").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
