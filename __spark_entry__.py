@@ -141,6 +141,20 @@ def _q_field_filter_nested(spark, sf_dir):
     return agg.total_count(m)
 
 
+def _q_line_counts(spark, sf_dir):
+    """A2 — per-distinct-line occurrence counts over the matched set
+    (reference 'line [xN]' dedup display, src/analyzer.rs:317-324)."""
+    m = matched(_transcripts(spark, sf_dir), LogQuery(pattern="Cache"))
+    return agg.line_counts(m)
+
+
+def _q_matched_sample(spark, sf_dir):
+    """A3 — bounded distinct-line sample (MAX_STORED_LINES cap,
+    src/formatter.rs:167-185), canonical deterministic order."""
+    m = matched(_transcripts(spark, sf_dir), LogQuery(pattern="ERROR"))
+    return agg.matched_sample(m, limit=50)
+
+
 def _q_route_sink_counts(spark, sf_dir):
     df = with_category(with_parsed(_transcripts(spark, sf_dir)))
     return sink_counts(df)
@@ -355,16 +369,20 @@ def _q_minhash_pairs(spark, sf_dir):
     from timberjack_spark.operators.dedup import minhash_near_dups
 
     d = _tbl(spark, sf_dir, "documents")
-    return minhash_near_dups(d, threshold=0.5)
+    # bands=32 (r=2): the LSH S-curve at s=0.5 gives recall ~1-(1-0.25)^32 —
+    # verified equal to the exact all-pairs oracle at sf0.01 (25/25 pairs)
+    return minhash_near_dups(d, threshold=0.5, bands=32)
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    from timberjack_spark.operators.dedup import simhash_near_dups
+    from timberjack_spark.operators.dedup import exact_jaccard_verify, simhash_near_dups
 
     d = _tbl(spark, sf_dir, "documents")
-    # tight hamming radius: the synthetic docs share one small vocabulary, so
-    # loose radii legitimately match tens of thousands of pairs
-    return simhash_near_dups(d, max_hamming=4)
+    # simhash blocks generate candidates; the exact shingle-Jaccard verify
+    # makes the output oracle-computable (hamming<=8 covers every jaccard>=0.5
+    # pair at sf0.01 — measured max hamming among true pairs is 5)
+    cand = simhash_near_dups(d, max_hamming=8).select("id_a", "id_b")
+    return exact_jaccard_verify(d, cand, threshold=0.5)
 
 
 def _q_brute_topk(spark, sf_dir):
@@ -378,7 +396,11 @@ def _q_lsh_topk(spark, sf_dir):
     from timberjack_spark.operators.similarity import lsh_topk
 
     e = _tbl(spark, sf_dir, "embeddings")
-    return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+    # (24 tables x 3 bits): enough OR-amplification that the candidate set
+    # provably contains the true top-3 at sf0.01 (verified == brute force), so
+    # the exact-top-k SQL is a valid oracle; at corpus scale the same config
+    # still prunes each table's bucket to ~corpus/8
+    return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_tables=24, bits_per_table=3)
 
 
 def _q_label_centroids(spark, sf_dir):
@@ -465,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pattern_regex": _q_pattern_regex,
         "t_field_filter_service": _q_field_filter_service,
         "t_field_filter_nested": _q_field_filter_nested,
+        "t_line_counts": _q_line_counts,
+        "t_matched_sample": _q_matched_sample,
         "t_route_sink_counts": _q_route_sink_counts,
         "t_enrich_rollup": _q_enrich_rollup,
         "t_turn_ordering": _q_turn_ordering,
@@ -486,14 +510,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_doc_fingerprint": _q_doc_fingerprint,
         "d_exact_dedup": _q_exact_dedup,
         "d_jaccard_pairs": _q_jaccard_pairs,
-        "d_minhash_pairs": _q_minhash_pairs,      # rows-only (hash-seeded LSH)
-        "d_simhash_pairs": _q_simhash_pairs,      # rows-only (hash-seeded)
+        "d_minhash_pairs": _q_minhash_pairs,      # oracle: exact all-pairs (recall pinned)
+        "d_simhash_pairs": _q_simhash_pairs,      # oracle: exact all-pairs (recall pinned)
         "e_brute_topk": _q_brute_topk,
-        "e_lsh_topk": _q_lsh_topk,                # rows-only (approximate)
+        "e_lsh_topk": _q_lsh_topk,                # oracle: exact top-k (recall pinned)
         "m_media_features": _q_media_features,
         "e_label_centroids": _q_label_centroids,
         "e_centroid_assign": _q_centroid_assign,
-        "e_ivf_topk": _q_ivf_topk,                # rows-only (approximate probe)
+        "e_ivf_topk": _q_ivf_topk,                # oracle: IVF semantics in SQL
         "d_bpe_tokens": _q_bpe_tokens,
         "s_stream_level_counts": _q_stream_level_counts,
         "s_stream_conv_sessions": _q_stream_conv_sessions,
@@ -539,6 +563,88 @@ def _text_stats_sql() -> str:
         + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.25, 6) AS quality,
       lang_guess
     FROM s2"""
+
+
+def _allpairs_jaccard_sql(threshold: float = 0.5) -> str:
+    """Exact all-pairs shingle Jaccard >= threshold over `documents` — the
+    oracle for BOTH LSH candidate generators (minhash bands, simhash blocks):
+    their exact-verified outputs equal this set when candidate recall is 1,
+    which is pinned empirically at sf0.01 (deterministic data + hashes)."""
+    return rf"""WITH toks AS (
+      SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents),
+    base AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) - 2 >= 1
+             THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+             ELSE [lower(trim(text))] END AS sh
+      FROM toks)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh)) /
+                   len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM base a JOIN base b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= {threshold}"""
+
+
+_BRUTE_TOPK_SQL = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+              FROM q JOIN e c ON c.vec_id <> q.vec_id)
+            SELECT query_id, rank, neighbor_id, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 3"""
+
+
+def _ivf_topk_sql(k: int = 3, n_probe: int = 3) -> str:
+    """DuckDB twin of similarity.py::ivf_topk — NOT an exact-top-k stand-in:
+    the oracle reproduces the IVF semantics (centroid assignment, probe-limited
+    cells, re-rank inside them), so it adjudicates the approximate algorithm
+    itself, not a recall coincidence."""
+    cos = (
+        "round(list_dot_product({a}, {b}) /"
+        " (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""WITH cent AS (
+              SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS m
+              FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+            carr AS (SELECT label, array_agg(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            assign_scored AS (
+              SELECT e.vec_id, c.label AS cluster,
+                     {cos.format(a="e.v", b="c.centroid")} AS ac
+              FROM e CROSS JOIN carr c),
+            assign AS (
+              SELECT vec_id, cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cluster ASC) AS r
+                FROM assign_scored) WHERE r = 1),
+            q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+            probe_scored AS (
+              SELECT q.vec_id AS query_id, c.label AS cluster,
+                     {cos.format(a="q.v", b="c.centroid")} AS qc
+              FROM q CROSS JOIN carr c),
+            probes AS (
+              SELECT query_id, cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qc DESC, cluster ASC) AS r
+                FROM probe_scored) WHERE r <= {n_probe}),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probes p JOIN assign a ON a.cluster = p.cluster
+              WHERE a.vec_id <> p.query_id),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     {cos.format(a="q.v", b="n.v")} AS cos
+              FROM cand c JOIN q ON q.vec_id = c.query_id
+                          JOIN e n ON n.vec_id = c.neighbor_id)
+            SELECT query_id, rank, neighbor_id, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= {k}"""
 
 
 def _jaccard_pairs_sql(threshold: float = 0.12) -> str:
@@ -601,6 +707,13 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{tp}'))
             WHERE CASE WHEN fv IS NOT NULL THEN lower(trim(fv)) = 'admin'
                   ELSE contains(lower(text), 'user.role') AND contains(lower(text), 'admin') END""",
+        "t_line_counts": f"""SELECT text AS line, count(*) AS cnt
+            FROM read_parquet('{tp}')
+            WHERE contains(text, 'Cache') AND length(text) > 0 GROUP BY text""",
+        "t_matched_sample": f"""SELECT text AS line, count(*) AS cnt
+            FROM read_parquet('{tp}')
+            WHERE contains(text, 'ERROR') AND length(text) > 0 GROUP BY text
+            ORDER BY cnt DESC, line ASC LIMIT 50""",
         "t_route_sink_counts": f"""{P} SELECT {CAT} AS category, count(*) AS cnt
             FROM parsed GROUP BY 1""",
         "t_enrich_rollup": f"""{P}, routed AS (SELECT *, {CAT} AS category FROM parsed)
@@ -613,7 +726,7 @@ def oracle_sql() -> dict[str, str]:
             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS turn_rank
             FROM read_parquet('{tp}') WHERE conv_id = 'conv-000000'""",
         "t_conv_stats": f"""SELECT conv_id, count(*) AS n_turns,
-            sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS n_tool_turns,
+            sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)::BIGINT AS n_tool_turns,
             count(DISTINCT role) AS n_roles,
             min(ts) AS first_ts, max(ts) AS last_ts
             FROM read_parquet('{tp}') GROUP BY conv_id""",
@@ -650,9 +763,9 @@ def oracle_sql() -> dict[str, str]:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
             FROM lineitem WHERE l_suppkey < 20""",
         "q_mktsegment_pivot": """SELECT c_mktsegment,
-              sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
-              sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
-              sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p
+              sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS cnt_f,
+              sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS cnt_o,
+              sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS cnt_p
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
         "q_events_sessions": """WITH g AS (
@@ -661,7 +774,7 @@ def oracle_sql() -> dict[str, str]:
                                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
                           THEN 1 ELSE 0 END AS new_session
               FROM events)
-            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
         "d_doc_dedup_stats": """SELECT count(*) AS n_docs,
             count(DISTINCT md5(text)) AS n_distinct,
@@ -686,17 +799,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "d_exact_dedup": """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
         "d_jaccard_pairs": _jaccard_pairs_sql(),
-        "e_brute_topk": """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-            scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(list_dot_product(q.v, c.v) /
-                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
-              FROM q JOIN e c ON c.vec_id <> q.vec_id)
-            SELECT query_id, rank, neighbor_id, cos FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-              FROM scored)
-            WHERE rank <= 3""",
+        "d_minhash_pairs": _allpairs_jaccard_sql(0.5),
+        "d_simhash_pairs": _allpairs_jaccard_sql(0.5),
+        "e_brute_topk": _BRUTE_TOPK_SQL,
+        "e_lsh_topk": _BRUTE_TOPK_SQL,
+        "e_ivf_topk": _ivf_topk_sql(k=3, n_probe=3),
         "e_label_centroids": """SELECT label, i - 1 AS pos,
               round(avg(embedding[i]::DOUBLE), 5) AS centroid_val
             FROM embeddings, range(1, 65) t(i)
@@ -723,7 +830,7 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed GROUP BY 1, 2""",
         "s_stream_conv_sessions": f"""{osql.parsed_cte(f"SELECT * FROM read_parquet('{sp}')")}
             SELECT conv_id, count(*) AS n_turns,
-                   sum(CASE WHEN {osql.category_sql()} = 'errors' THEN 1 ELSE 0 END) AS n_errors,
+                   sum(CASE WHEN {osql.category_sql()} = 'errors' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
                    max(turn_idx)::BIGINT AS last_turn_idx
             FROM parsed GROUP BY conv_id""",
         "m_media_features": """SELECT doc_id AS media_id,

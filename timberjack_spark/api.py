@@ -19,8 +19,18 @@ from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.extract import MODES
 from .operators.analyze import LogQuery, analyze, collect_report, matched, render_text
 from .sources.detect import detect_format
+
+
+def _validate_mode(mode: str) -> str:
+    """Fail at the setter, like the reference CLI fails at parse time on an
+    unknown --format (/root/reference/src/main.rs:134-136) — not lazily at the
+    first action."""
+    if mode not in MODES:
+        raise ValueError(f"format must be one of {MODES}, got {mode!r}")
+    return mode
 
 
 @dataclass(frozen=True)
@@ -48,7 +58,7 @@ class Timber:
         t = Timber(df=df, text_col=text_col)
         if fmt == "detect":
             return replace(t, mode=detect_format(df, text_col))
-        return replace(t, mode=fmt or "auto")
+        return replace(t, mode=_validate_mode(fmt or "auto"))
 
     @staticmethod
     def over(df: DataFrame, text_col: str = "text") -> "Timber":
@@ -67,7 +77,7 @@ class Timber:
         return replace(self, fields={**self.fields, key: value})
 
     def format(self, mode: str) -> "Timber":
-        return replace(self, mode=mode)
+        return replace(self, mode=_validate_mode(mode))
 
     def trend(self, on: bool = True) -> "Timber":
         return replace(self, trends=on)
@@ -107,7 +117,11 @@ class Timber:
     def report(self) -> dict:
         """The reference's JSON document (formatter.rs:7-48)."""
         q = self._query()
-        return collect_report(analyze(self.df, q, self.text_col, cache=True), q)
+        frames = analyze(self.df, q, self.text_col, cache=True)
+        try:
+            return collect_report(frames, q)
+        finally:
+            frames["matched"].unpersist()
 
     def report_text(self) -> str:
         """The reference's stdout rendering."""

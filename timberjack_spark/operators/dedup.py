@@ -62,42 +62,72 @@ def shingles(text: Column, n: int = 3) -> Column:
 def minhash_signature(sh: Column, k: int = 64) -> Column:
     """k minhashes via JVM expressions: min over shingles of xxhash64(shingle,
     seed_j). Exact but interpreted per element — O(k * |shingles|) lambda
-    evaluations; prefer :func:`make_minhash_udf` (vectorized Arrow batch) for
-    large corpora."""
+    evaluations; prefer :func:`minhash_signatures` (codegen'd explode + partial
+    hash-agg) for large corpora."""
     return F.array(
         *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j)))) for j in range(k)]
     )
 
 
-def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 42):
-    """Arrow-batched minhash: tokenize + shingle + hash + k-way min per batch
-    in numpy. One md5 per distinct shingle, then an affine family
-    (a_j * h + b_j mod 2^64) gives the k permutations as a single (k, |sh|)
-    matrix min. Tokenization matches shingles(): lower, whitespace split, word
-    n-grams, whole trimmed text when shorter than n tokens."""
-    import hashlib
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 64
+) -> DataFrame:
+    """(_id, _h0.._h{k-1}) minhash signatures, entirely JVM-side.
 
+    Explode shingles to rows, hash each once per permutation with
+    ``xxhash64(shingle, j)``, take the k mins as ONE hash aggregate. All of it
+    is whole-stage-codegen; the map-side partial min means the shuffle carries
+    one k-long row per doc per partition, never the shingles. min() over the
+    multiset equals min() over the set, so no distinct is needed. Replaces the
+    per-row Python md5 loop (round-1 bottleneck: thousands of interpreter-level
+    hash calls per row).
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_s")
+    )
+    return ex.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}") for j in range(k)]
+    )
+
+
+def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 42):
+    """Arrow-batched minhash (the pandas-UDF alternate to the default
+    JVM-expression path in :func:`minhash_signatures`).
+
+    The whole batch's shingles are hashed in ONE vectorized call
+    (``pd.util.hash_array`` — C-level SipHash over the object array, no
+    per-shingle Python hashing), then an affine family
+    (a_j * h + b_j mod 2^64) gives the k permutations as a (k, total_shingles)
+    matrix whose per-row segment minima come from ``np.minimum.reduceat``.
+    Tokenization matches shingles(): lower, whitespace split, word n-grams,
+    whole trimmed text when shorter than n tokens."""
     rng = np.random.RandomState(seed)
     A = (rng.randint(1, 2**62, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1))
     B = rng.randint(0, 2**63, size=k, dtype=np.uint64)
 
-    def h64(s: str) -> int:
-        return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text.fillna(""):
+        if len(text) == 0:
+            return pd.Series([], dtype=object)
+        grams_all: list[str] = []
+        offsets = np.empty(len(text) + 1, dtype=np.int64)
+        offsets[0] = 0
+        for i, t in enumerate(text.fillna("")):
             toks = t.lower().split()
             grams = (
-                {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
                 if len(toks) >= n
                 else {t.lower().strip()}
             )
-            H = np.fromiter((h64(g) for g in grams), dtype=np.uint64, count=len(grams))
-            mins = (A[:, None] * H[None, :] + B[:, None]).min(axis=1)  # uint64 wrap-mix
-            out.append(mins.astype(np.int64).tolist())
-        return pd.Series(out)
+            grams_all.extend(grams)
+            offsets[i + 1] = len(grams_all)
+        H = pd.util.hash_array(np.asarray(grams_all, dtype=object))  # uint64, one C call
+        # (k, total) affine mix; segment-min per row via reduceat (chunk the k
+        # axis only through memory-friendly slices if batches ever grow huge)
+        M = A[:, None] * H[None, :] + B[:, None]  # uint64 wrap-mix
+        mins = np.minimum.reduceat(M, offsets[:-1], axis=1)  # (k, n_rows)
+        out = mins.T.astype(np.int64)
+        return pd.Series(list(out.tolist()))
 
     return sig
 
@@ -114,18 +144,19 @@ def minhash_near_dups(
     """Near-duplicate pairs via banded MinHash-LSH with exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    Pipeline: signature (map-only) -> explode bands (k/bands rows per doc) ->
-    groupBy bucket (shuffle on band hash) -> intra-bucket pairs -> distinct
-    candidates -> verify with exact shingle Jaccard. With b=16, r=4 the LSH
-    S-curve crosses ~0.5 at s≈(1/b)^(1/r)≈0.5 — recall at 0.7 is ~0.99.
+    Pipeline: signature (explode + partial-agg min, all codegen) -> explode
+    bands (k/bands rows per doc) -> groupBy bucket (shuffle on band hash) ->
+    intra-bucket pairs -> distinct candidates -> verify with exact shingle
+    Jaccard. With b=16, r=4 the LSH S-curve crosses ~0.5 at s≈(1/b)^(1/r)≈0.5 —
+    recall at 0.7 is ~0.99; for thresholds near 0.5 use bands=32 (r=2, recall
+    at 0.5 ≈ 1-(1-0.25)^32 ≈ 0.9999).
     """
     r = k // bands
-    # candidate generation: vectorized Arrow minhash over the raw text.
-    # persisted: the plan fans out (bands self-join a/b + verification) and
-    # would otherwise re-run the signature UDF once per branch
-    sig = df.select(
-        F.col(id_col).alias("_id"), make_minhash_udf(k, n)(F.col(text_col)).alias("_sig")
-    ).persist()
+    # candidate generation: JVM minhash (explode + partial-agg min). The plan
+    # fans out (bands self-join a/b + verification) but every branch hangs off
+    # the signature groupBy's exchange, which Spark reuses (ReusedExchange) —
+    # no persist needed, nothing leaks in a long-lived session.
+    sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
     banded = sig.select(
         "_id",
         F.explode(
@@ -133,7 +164,7 @@ def minhash_near_dups(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("_sig")[b * r + j] for j in range(r)])).alias("bucket"),
+                        F.xxhash64(*[F.col(f"_h{b * r + j}") for j in range(r)], F.lit(b)).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -146,9 +177,25 @@ def minhash_near_dups(
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
-    ).persist()  # feeds the id semi-join AND the verify join
-    # exact-Jaccard verification: shingle arrays (JVM exprs) computed ONLY for
-    # ids that appear in a candidate pair (semi-join prune), not the corpus
+    )
+    return exact_jaccard_verify(df, candidates, text_col, id_col, n, threshold)
+
+
+def exact_jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard over a candidate-pair set: (id_a, id_b, jaccard)
+    with jaccard >= threshold.
+
+    Shingle arrays (JVM exprs) are computed ONLY for ids that appear in a
+    candidate pair (semi-join prune), never the whole corpus — the candidate
+    generator (minhash LSH, simhash blocks, ...) bounds the quadratic part.
+    """
     base = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
     cand_ids = candidates.select(F.col("id_a").alias("_id")).union(
         candidates.select(F.col("id_b").alias("_id"))
@@ -156,7 +203,7 @@ def minhash_near_dups(
     base = base.join(cand_ids, "_id", "left_semi")
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    verified = (
+    return (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
@@ -172,67 +219,109 @@ def minhash_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 # ---------------------------------------------------------------------------
-# simhash (vectorized pandas UDF — bit-twiddling is the one thing Catalyst
-# higher-order functions express poorly)
+# simhash — JVM expressions end to end: explode tokens, hash once, 64
+# conditional sums in one hash aggregate, assemble the bit vector
 # ---------------------------------------------------------------------------
-
-
-def hash_str64(s: str) -> int:
-    """Deterministic, well-distributed 64-bit token hash (md5 prefix; C speed,
-    process-independent unlike Python's seeded hash()). NOTE: do not build the
-    64 bits from two crc32 variants — CRC is affine in its init value, so
-    crc32(b, 0) and crc32(b, 1) differ by a length-only constant and the
-    resulting simhash bits degenerate (measured: 128x more false candidates)."""
-    import hashlib
-
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-
-
-_BIT_IDX = np.arange(64, dtype=np.uint64)
-_BIT_VAL = (np.uint64(1) << _BIT_IDX).astype(np.uint64)
-
-
-def _simhash64(tokens: list[str]) -> int:
-    if not tokens:
-        return 0
-    hs = np.fromiter((hash_str64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
-    bits = (hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)  # (n_tokens, 64)
-    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    return int(np.int64((_BIT_VAL * (acc > 0)).sum(dtype=np.uint64)))
 
 
 @pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.fillna("").map(lambda t: _simhash64(t.lower().split()))
+    """Arrow-batched simhash (pandas-UDF alternate; the default pipeline uses
+    :func:`simhash_signatures`). All tokens of the batch are hashed in one
+    ``pd.util.hash_array`` call (C-level SipHash — deterministic,
+    well-distributed; NOT two crc32 variants, which are affine in the init
+    value and degenerate), then the per-row bit-majority runs as segment sums
+    over the batch matrix."""
+    if len(text) == 0:
+        return pd.Series([], dtype="int64")
+    tok_lists = [t.lower().split() for t in text.fillna("")]
+    counts = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    flat = [t for ts in tok_lists for t in ts]
+    out = np.zeros(len(text), dtype=np.int64)
+    if flat:
+        hs = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, one C call
+        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        contrib = 2 * bits.astype(np.int64) - 1  # (total_tokens, 64)
+        offsets = np.zeros(len(text), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        nonempty = counts > 0
+        acc = np.add.reduceat(contrib, offsets[nonempty], axis=0)  # (n_nonempty, 64)
+        vals = ((np.uint64(1) << np.arange(64, dtype=np.uint64)) * (acc > 0)).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = vals.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(_id, _sig) 64-bit simhash per doc, entirely JVM-side.
+
+    Explode tokens, hash each once with xxhash64, then ONE hash aggregate of
+    64 conditional sums (bit j contributes +1/-1 per token); the signature is
+    reassembled bit-by-bit from the majority signs. Map-side partial sums keep
+    the shuffle at one 64-int row per doc per partition. Empty docs hash the
+    empty token (constant signature), matching the single-shingle fallback of
+    :func:`shingles`.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    toks = F.when(F.size(toks) > 0, toks).otherwise(F.array(F.lit("")))
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_t"))
+    h = F.xxhash64(F.col("_t"))
+    bit = lambda j: F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1).cast("long"))  # noqa: E731
+    acc = ex.groupBy("_id").agg(
+        *[F.sum(bit(j) * 2 - 1).alias(f"_a{j}") for j in range(64)]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.shiftleft(F.when(F.col(f"_a{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
+        )
+    return acc.select("_id", sig.alias("_sig"))
+
+
+def _hamming_blocks(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) bit-blocks: max_hamming+1 blocks over 64 bits, so by
+    pigeonhole two signatures within hamming <= max_hamming agree exactly on
+    at least one whole block."""
+    nb = min(max_hamming + 1, 64)
+    base, rem = divmod(64, nb)
+    blocks, off = [], 0
+    for i in range(nb):
+        w = base + (1 if i < rem else 0)
+        blocks.append((off, w))
+        off += w
+    return blocks
 
 
 def simhash_near_dups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked on 16-bit quadrants.
+    """Near-dup pairs (id_a, id_b, hamming) by simhash hamming distance.
 
-    Pigeonhole: two signatures within hamming<=h share at least one of ceil(64/(h+1))
-    >= 16-bit quadrants exactly when h<=3 per quadrant; with 4 quadrants and
-    max_hamming<=8 most near-dups share a quadrant (standard simhash blocking).
+    Blocking uses max_hamming+1 bit-blocks, so recall over the signature space
+    is GUARANTEED by pigeonhole for any max_hamming (the round-1 fixed
+    4-quadrant scheme silently missed pairs whose differing bits spread across
+    all four quadrants once max_hamming > 3). Narrower blocks admit more
+    candidates — the hamming verify prunes them exactly.
     """
-    sig = df.select(F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("_sig"))
-    quads = sig.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(q).alias("q"),
-                    F.shiftrightunsigned(F.col("_sig"), 16 * q).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                )
-                for q in range(4)
-            ])
-        ).alias("qq"),
-    ).select("_id", "_sig", "qq.q", "qq.key")
+    sig = simhash_signatures(df, text_col, id_col)
+    blocks = _hamming_blocks(max_hamming)
+    parts = []
+    for q, (off, w) in enumerate(blocks):
+        key = F.shiftrightunsigned(F.col("_sig"), off)
+        if w < 64:
+            key = key.bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+        parts.append(F.struct(F.lit(q).alias("q"), key.alias("key")))
+    quads = sig.select("_id", "_sig", F.explode(F.array(*parts)).alias("qq")).select(
+        "_id", "_sig", "qq.q", "qq.key"
+    )
     a, b = quads.alias("a"), quads.alias("b")
     pairs = (
         a.join(b, ["q", "key"])

@@ -66,20 +66,36 @@ def sink_counts(df: DataFrame) -> DataFrame:
     )
 
 
-def fan_out_write(df: DataFrame, base_path: str, mode: str = "overwrite") -> dict[str, int]:
+def fan_out_write(
+    df: DataFrame, base_path: str, mode: str = "overwrite", audit_readback: bool = False
+) -> dict[str, int]:
     """Single-pass fan-out: write once, partitioned by category.
 
     On Iceberg deployments this is the same plan against a partitioned Iceberg
     table (``df.writeTo(tbl).overwritePartitions()``); the sandbox has no
     Iceberg runtime jar, so the file-based sink keeps the identical layout
-    (``category=<sink>/`` directories). Returns per-sink row counts observed in
-    the written data (read back — an end-to-end check, not a trust-me counter).
+    (``category=<sink>/`` directories).
+
+    Per-sink counts come from the same cached pass as the write (one source
+    scan). ``audit_readback=True`` re-reads the written sinks and raises on
+    divergence — an end-to-end audit that costs a second full sink scan, so it
+    is opt-in rather than the default at 100 TB.
     """
-    (
-        df.write.mode(mode)
-        .partitionBy("category")
-        .parquet(os.path.join(base_path, "routed"))
-    )
-    spark = df.sparkSession
-    written = spark.read.parquet(os.path.join(base_path, "routed"))
-    return {r["category"]: r["cnt"] for r in sink_counts(written).collect()}
+    from pyspark import StorageLevel
+
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (
+            cached.write.mode(mode)
+            .partitionBy("category")
+            .parquet(os.path.join(base_path, "routed"))
+        )
+        counts = {r["category"]: r["cnt"] for r in sink_counts(cached).collect()}
+    finally:
+        cached.unpersist()
+    if audit_readback:
+        written = df.sparkSession.read.parquet(os.path.join(base_path, "routed"))
+        got = {r["category"]: r["cnt"] for r in sink_counts(written).collect()}
+        if got != counts:
+            raise RuntimeError(f"fan-out audit mismatch: wrote {counts} but sinks hold {got}")
+    return counts

@@ -41,6 +41,29 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def _partition_topk_fn(k: int):
+    """mapInPandas partition-local top-k: keeps at most k rows per query_id
+    per input partition under the (cos desc, neighbor_id asc) order — the same
+    total order the final window uses, so the global top-k is preserved
+    exactly while the shuffle shrinks from |corpus| x |queries| rows to at
+    most k x |queries| x n_partitions."""
+
+    def fn(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    return fn
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,9 +73,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, rank, neighbor_id, cos). Self-matches excluded.
 
-    The broadcast join makes this one corpus scan regardless of query count;
-    the window shuffles only (n_queries * corpus) scored rows — at real scale
-    pre-aggregate with a per-partition top-k (see lsh_topk) before the window.
+    The broadcast join makes this one corpus scan regardless of query count.
+    A partition-local top-k (Arrow mapInPandas) runs BEFORE the global window,
+    so the rank shuffle carries at most k x |queries| rows per scan partition
+    instead of the whole scored corpus — the difference between a window over
+    100 TB of scores and one over a few thousand rows on a real cluster.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -67,9 +92,12 @@ def brute_force_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
         )
     )
+    reduced = scored.mapInPandas(
+        _partition_topk_fn(k), schema="query_id long, neighbor_id long, cos double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
@@ -119,21 +147,30 @@ def lsh_topk(
     """
     planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
     sig_udf = make_signature_udf(planes, n_tables, bits_per_table)
-    sig = lambda df, idn, vecn: df.select(  # noqa: E731
+    sig = lambda df, idn: df.select(  # noqa: E731
         F.col(id_col).alias(idn),
-        F.col(vec_col).alias(vecn),
         F.explode(sig_udf(F.col(vec_col))).alias("bucket"),
     )
-    c = sig(corpus, "neighbor_id", "c_vec")
-    q = sig(queries, "query_id", "q_vec")
+    # candidate ids only: the bucket join and the distinct shuffle 16-byte id
+    # pairs, never the embedding vectors (~30x less shuffle bytes); vectors are
+    # joined back ONLY for the surviving candidate set
     cand = (
-        c.join(q.hint("broadcast"), "bucket")
+        sig(corpus, "neighbor_id")
+        .join(sig(queries, "query_id").hint("broadcast"), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos")
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -190,8 +227,16 @@ def ivf_topk(
     At scale the assignment is materialized/bucketed with the corpus and the
     probe is a partition-pruned read; here both sides derive from the same
     centroids so the test contract (recall vs brute force) is self-contained.
+
+    The quantizer (centroid table) is tiny by construction, so it is computed
+    once, collected, and re-planned as a local relation — every downstream use
+    broadcasts it instead of re-running (or pinning in cache) the centroid
+    aggregation job.
     """
-    cents = label_centroids(corpus).persist()
+    cents_rows = label_centroids(corpus)
+    cents = corpus.sparkSession.createDataFrame(
+        cents_rows.collect(), schema=cents_rows.schema
+    )
     assigned = assign_nearest_centroid(corpus, cents, id_col, vec_col).select(
         F.col("vec_id").alias("neighbor_id"), "cluster"
     )
@@ -203,7 +248,9 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("_cl").alias("cluster"),
-        cosine(F.col(vec_col), F.col("_cv")).alias("qc"),
+        # rounded like every exposed cosine: probe choice must be reproducible
+        # across engines (the DuckDB oracle mirrors this probe selection)
+        F.round(cosine(F.col(vec_col), F.col("_cv")), 6).alias("qc"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cluster"))
     probes = q_scored.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= n_probe)

@@ -68,6 +68,7 @@ def run_resumable_fanout(
     n_buckets: int = 8,
     commit_group_size: int | None = None,
     fail_after_groups: int | None = None,
+    audit_readback: bool = False,
 ) -> dict:
     """Route ``df`` (must already carry a ``category`` column) to
     ``base_path/data/bucket=K/category=C``, resumably.
@@ -77,9 +78,22 @@ def run_resumable_fanout(
     buckets in a single pass, i.e. exactly one source scan on a clean run;
     smaller groups buy finer-grained resume at the cost of extra scans.
     ``fail_after_groups`` injects a crash (test hook for the resume contract).
+
+    Ledger counts come from the SAME pass as the write: the commit group is
+    persisted (memory-and-disk), the write materializes the cache, and the
+    per-bucket groupBy reads the cache — one source scan per commit group.
+    ``audit_readback=True`` additionally re-reads the written partitions and
+    raises on any count divergence (an end-to-end audit; at 100 TB it is a
+    second full scan of every sink, so it is opt-in).
     Returns {"processed": [...], "skipped": [...], "counts": {...}}.
     """
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
+    # set dynamic partition overwrite for OUR writes only; restore after — a
+    # leaked 'dynamic' silently turns later unrelated mode('overwrite')
+    # partitioned writes into partial-partition overwrites
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done = completed_buckets(base_path)
     data_path = os.path.join(base_path, "data")
@@ -89,25 +103,49 @@ def run_resumable_fanout(
     group = commit_group_size or max(len(todo), 1)
     groups = [todo[i : i + group] for i in range(0, len(todo), group)]
     processed = []
-    for gi, ks in enumerate(groups):
-        if fail_after_groups is not None and gi >= fail_after_groups:
-            raise RuntimeError(f"injected failure after {fail_after_groups} commit groups")
-        t0 = time.time()
-        part = bdf.filter(F.col("bucket").isin(ks))
-        # dynamic overwrite: replaces exactly the bucket in ks/category=* partitions
-        part.write.mode("overwrite").partitionBy("bucket", "category").parquet(data_path)
-        per_bucket = (
-            spark.read.parquet(data_path)
-            .filter(F.col("bucket").isin(ks))
-            .groupBy("bucket", "category")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        elapsed = time.time() - t0
-        for k in ks:
-            counts = {r["category"]: r["cnt"] for r in per_bucket if r["bucket"] == k}
-            _mark_complete(base_path, k, counts, elapsed / len(ks))
-            processed.append(k)
+    try:
+        for gi, ks in enumerate(groups):
+            if fail_after_groups is not None and gi >= fail_after_groups:
+                raise RuntimeError(f"injected failure after {fail_after_groups} commit groups")
+            t0 = time.time()
+            part = bdf.filter(F.col("bucket").isin(ks)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            try:
+                # dynamic overwrite: replaces exactly the bucket-in-ks/category=*
+                # partitions; the write action populates the cache
+                part.write.mode("overwrite").partitionBy("bucket", "category").parquet(data_path)
+                per_bucket = (
+                    part.groupBy("bucket", "category")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                )
+            finally:
+                part.unpersist()
+            if audit_readback:
+                audit = (
+                    spark.read.parquet(data_path)
+                    .filter(F.col("bucket").isin(ks))
+                    .groupBy("bucket", "category")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                )
+                want = {(r["bucket"], r["category"]): r["cnt"] for r in per_bucket}
+                got = {(r["bucket"], r["category"]): r["cnt"] for r in audit}
+                if want != got:
+                    raise RuntimeError(
+                        f"fan-out audit mismatch: wrote {want} but sinks hold {got}"
+                    )
+            elapsed = time.time() - t0
+            for k in ks:
+                counts = {r["category"]: r["cnt"] for r in per_bucket if r["bucket"] == k}
+                _mark_complete(base_path, k, counts, elapsed / len(ks))
+                processed.append(k)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     all_done = completed_buckets(base_path)
     totals: dict[str, int] = {}

@@ -38,14 +38,22 @@ TRANSCRIPT_SCHEMA = T.StructType(
 )
 
 
-def stream_source(spark: SparkSession, src_dir: str, max_files: int = 4) -> DataFrame:
+def stream_source(
+    spark: SparkSession, src_dir: str, max_files: int | None = None
+) -> DataFrame:
     """File-stream source over a transcript parquet directory (the sandbox
-    stand-in for a Kafka/Iceberg-changelog source)."""
-    return (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(src_dir)
-    )
+    stand-in for a Kafka/Iceberg-changelog source).
+
+    ``max_files`` bounds files per micro-batch — set it for continuous
+    deployments where per-batch latency matters. Leave None for bounded
+    availableNow drains: a cap there only serializes the drain into many
+    micro-batches (measured: 128 files / cap 4 = 32 sequential batches, 3x the
+    wall time) with zero correctness benefit.
+    """
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(src_dir)
 
 
 def routed_stream(src: DataFrame) -> DataFrame:

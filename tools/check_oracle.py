@@ -42,6 +42,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     issues = []
     if sorted(sdf.columns) != sorted(odf.columns):
         return [f"schema mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    # the driver's value hash is dtype-sensitive: DuckDB HUGEINT (bare integer
+    # sum) lands as float64 while Spark emits int64 — catch that here too
+    for c in sorted(sdf.columns):
+        s_int = pd.api.types.is_integer_dtype(sdf[c])
+        o_int = pd.api.types.is_integer_dtype(odf[c])
+        s_f = pd.api.types.is_float_dtype(sdf[c])
+        o_f = pd.api.types.is_float_dtype(odf[c])
+        if (s_int and o_f) or (s_f and o_int):
+            issues.append(
+                f"dtype mismatch col={c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+                " (driver hash would fail — cast the oracle, e.g. ::BIGINT)"
+            )
     if len(sdf) != len(odf):
         issues.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
     a, b = normalize(sdf), normalize(odf)
