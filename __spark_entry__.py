@@ -155,6 +155,14 @@ def _q_matched_sample(spark, sf_dir):
     return agg.matched_sample(m, limit=50)
 
 
+def _q_field_histogram(spark, sf_dir):
+    """P3 — materialized dotted-path fields map (json.rs:50-90): which JSON
+    field paths occur, and in how many rows."""
+    from timberjack_spark.functions.fields import field_name_histogram
+
+    return field_name_histogram(_transcripts(spark, sf_dir))
+
+
 def _q_route_sink_counts(spark, sf_dir):
     df = with_category(with_parsed(_transcripts(spark, sf_dir)))
     return sink_counts(df)
@@ -379,9 +387,12 @@ def _q_simhash_pairs(spark, sf_dir):
 
     d = _tbl(spark, sf_dir, "documents")
     # simhash blocks generate candidates; the exact shingle-Jaccard verify
-    # makes the output oracle-computable (hamming<=8 covers every jaccard>=0.5
-    # pair at sf0.01 — measured max hamming among true pairs is 5)
-    cand = simhash_near_dups(d, max_hamming=8).select("id_a", "id_b")
+    # makes the output oracle-computable. 3-gram features keep signatures of
+    # unrelated template-generated docs decorrelated (token-level signatures
+    # cluster and flood the blocking buckets); max_hamming=9 covers every
+    # jaccard>=0.5 pair (measured max 3-gram-signature hamming among the 25
+    # true pairs at sf0.01 is 9; verified == exact all-pairs)
+    cand = simhash_near_dups(d, max_hamming=9, n=3).select("id_a", "id_b")
     return exact_jaccard_verify(d, cand, threshold=0.5)
 
 
@@ -487,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pattern_regex": _q_pattern_regex,
         "t_field_filter_service": _q_field_filter_service,
         "t_field_filter_nested": _q_field_filter_nested,
+        "t_field_histogram": _q_field_histogram,
         "t_line_counts": _q_line_counts,
         "t_matched_sample": _q_matched_sample,
         "t_route_sink_counts": _q_route_sink_counts,
@@ -707,6 +719,25 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{tp}'))
             WHERE CASE WHEN fv IS NOT NULL THEN lower(trim(fv)) = 'admin'
                   ELSE contains(lower(text), 'user.role') AND contains(lower(text), 'admin') END""",
+        # bounded-depth flatten (DuckDB 1.0 has no json_tree): the fixture's
+        # JSON grammar nests at most 3 levels with no arrays, so 3 explicit
+        # levels adjudicate every path; the general recursion/cap semantics
+        # are pinned by tests/test_fields.py
+        "t_field_histogram": f"""WITH j AS (
+              SELECT text::JSON AS doc FROM read_parquet('{tp}')
+              WHERE json_valid(text) AND trim(text) LIKE '{{%' AND trim(text) LIKE '%}}'),
+            l1 AS (SELECT doc, unnest(json_keys(doc)) AS k1 FROM j),
+            l1t AS (SELECT doc, k1, json_type(doc, '$.' || k1) AS t1 FROM l1),
+            l2 AS (SELECT doc, k1, unnest(json_keys(doc, '$.' || k1)) AS k2 FROM l1t WHERE t1 = 'OBJECT'),
+            l2t AS (SELECT doc, k1, k2, json_type(doc, '$.' || k1 || '.' || k2) AS t2 FROM l2),
+            l3 AS (SELECT doc, k1, k2, unnest(json_keys(doc, '$.' || k1 || '.' || k2)) AS k3
+                   FROM l2t WHERE t2 = 'OBJECT'),
+            l3t AS (SELECT doc, k1, k2, k3, json_type(doc, '$.' || k1 || '.' || k2 || '.' || k3) AS t3 FROM l3),
+            leaves AS (
+              SELECT k1 AS field FROM l1t WHERE t1 NOT IN ('OBJECT', 'ARRAY')
+              UNION ALL SELECT k1 || '.' || k2 FROM l2t WHERE t2 NOT IN ('OBJECT', 'ARRAY')
+              UNION ALL SELECT k1 || '.' || k2 || '.' || k3 FROM l3t WHERE t3 NOT IN ('OBJECT', 'ARRAY'))
+            SELECT field, count(*) AS cnt FROM leaves GROUP BY field""",
         "t_line_counts": f"""SELECT text AS line, count(*) AS cnt
             FROM read_parquet('{tp}')
             WHERE contains(text, 'Cache') AND length(text) > 0 GROUP BY text""",

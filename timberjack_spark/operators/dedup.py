@@ -72,21 +72,19 @@ def minhash_signature(sh: Column, k: int = 64) -> Column:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 64
 ) -> DataFrame:
-    """(_id, _h0.._h{k-1}) minhash signatures, entirely JVM-side.
+    """(_id, _sig array<long>) minhash signatures via the Arrow-batched UDF.
 
-    Explode shingles to rows, hash each once per permutation with
-    ``xxhash64(shingle, j)``, take the k mins as ONE hash aggregate. All of it
-    is whole-stage-codegen; the map-side partial min means the shuffle carries
-    one k-long row per doc per partition, never the shingles. min() over the
-    multiset equals min() over the set, so no distinct is needed. Replaces the
-    per-row Python md5 loop (round-1 bottleneck: thousands of interpreter-level
-    hash calls per row).
+    Why a pandas UDF and not expressions: the k-way min naturally writes as ONE
+    hash aggregate of k min() columns over exploded shingles, but 64 aggregate
+    expressions exceed what whole-stage codegen will compile — the aggregate
+    runs interpreted at ~10 us/row (measured 3.8 s over 270k shingle rows,
+    ~25x slower than this UDF). The batch path hashes every shingle of an
+    Arrow batch in one C call and takes segment minima in numpy; Python never
+    touches individual rows. See make_minhash_udf.
     """
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_s")
-    )
-    return ex.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}") for j in range(k)]
+    return df.select(
+        F.col(id_col).alias("_id"),
+        make_minhash_udf(k, n)(F.col(text_col)).alias("_sig"),
     )
 
 
@@ -122,11 +120,11 @@ def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 42):
             grams_all.extend(grams)
             offsets[i + 1] = len(grams_all)
         H = pd.util.hash_array(np.asarray(grams_all, dtype=object))  # uint64, one C call
-        # (k, total) affine mix; segment-min per row via reduceat (chunk the k
-        # axis only through memory-friendly slices if batches ever grow huge)
-        M = A[:, None] * H[None, :] + B[:, None]  # uint64 wrap-mix
-        mins = np.minimum.reduceat(M, offsets[:-1], axis=1)  # (k, n_rows)
-        out = mins.T.astype(np.int64)
+        # (total, k) affine mix in C-order so the segment reduction walks
+        # contiguous memory; reduceat along axis 0 gives per-row minima
+        M = H[:, None] * A[None, :] + B[None, :]  # uint64 wrap-mix
+        mins = np.minimum.reduceat(M, offsets[:-1], axis=0)  # (n_rows, k)
+        out = mins.astype(np.int64)
         return pd.Series(list(out.tolist()))
 
     return sig
@@ -152,11 +150,14 @@ def minhash_near_dups(
     at 0.5 ≈ 1-(1-0.25)^32 ≈ 0.9999).
     """
     r = k // bands
-    # candidate generation: JVM minhash (explode + partial-agg min). The plan
-    # fans out (bands self-join a/b + verification) but every branch hangs off
-    # the signature groupBy's exchange, which Spark reuses (ReusedExchange) —
-    # no persist needed, nothing leaks in a long-lived session.
-    sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
+    # candidate generation: Arrow-batched minhash signatures, MATERIALIZED
+    # once (localCheckpoint). The signature table is referenced by both sides
+    # of the band self-join and Spark re-executes UDF subtrees per broadcast
+    # branch (no exchange reuse across Python stages — measured 4 single-task
+    # ~3.5 s broadcast builds per query without this). Signatures are one
+    # (id, k longs) row per doc — tiny next to the corpus at any scale; in a
+    # production pipeline this is the "write the signature table" step.
+    sig = minhash_signatures(df, text_col, id_col, n=n, k=k).localCheckpoint(eager=True)
     banded = sig.select(
         "_id",
         F.explode(
@@ -164,7 +165,7 @@ def minhash_near_dups(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col(f"_h{b * r + j}") for j in range(r)], F.lit(b)).alias("bucket"),
+                        F.xxhash64(*[F.col("_sig")[b * r + j] for j in range(r)], F.lit(b)).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -195,16 +196,35 @@ def exact_jaccard_verify(
     Shingle arrays (JVM exprs) are computed ONLY for ids that appear in a
     candidate pair (semi-join prune), never the whole corpus — the candidate
     generator (minhash LSH, simhash blocks, ...) bounds the quadratic part.
+
+    The candidate set is materialized once (``localCheckpoint``): the plan
+    references it multiple times (id prune + pair join), and when the
+    generator contains an Arrow UDF, Spark's exchange-reuse canonicalization
+    fails to dedupe the subtree — measured: the signature UDF executed 10x per
+    query without this. Candidates are id pairs only (16 bytes each), so the
+    checkpoint is tiny relative to the corpus at any scale; its blocks are
+    dropped when the RDD is garbage-collected.
+
+    When the materialized candidate count fits ``broadcast_limit`` the pair
+    set (and its id prune) is broadcast, so the verify is shuffle-free: two
+    corpus-side scans with broadcast joins. Without the hint the planner sees
+    a stats-less checkpoint scan and falls back to SortMergeJoin, shuffling
+    the shingle arrays (measured 2x slower even at 5k docs). Above the limit
+    the shuffle join is the right plan anyway.
     """
+    candidates = candidates.localCheckpoint(eager=True)
+    broadcast_limit = 2_000_000
+    small = candidates.count() <= broadcast_limit
+    hint = F.broadcast if small else (lambda x: x)
     base = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
-    cand_ids = candidates.select(F.col("id_a").alias("_id")).union(
-        candidates.select(F.col("id_b").alias("_id"))
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("_id")
     ).distinct()
-    base = base.join(cand_ids, "_id", "left_semi")
+    base = base.join(hint(cand_ids), "_id", "left_semi")
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
-        candidates.join(sh_a, "id_a")
+        hint(candidates).join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
             "jaccard",
@@ -227,63 +247,78 @@ def exact_jaccard_verify(
 # ---------------------------------------------------------------------------
 
 
-@pandas_udf(T.LongType())
-def simhash_udf(text: pd.Series) -> pd.Series:
-    """Arrow-batched simhash (pandas-UDF alternate; the default pipeline uses
-    :func:`simhash_signatures`). All tokens of the batch are hashed in one
-    ``pd.util.hash_array`` call (C-level SipHash — deterministic,
-    well-distributed; NOT two crc32 variants, which are affine in the init
-    value and degenerate), then the per-row bit-majority runs as segment sums
-    over the batch matrix."""
-    if len(text) == 0:
-        return pd.Series([], dtype="int64")
-    tok_lists = [t.lower().split() for t in text.fillna("")]
-    counts = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
-    flat = [t for ts in tok_lists for t in ts]
-    out = np.zeros(len(text), dtype=np.int64)
-    if flat:
-        hs = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, one C call
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        contrib = 2 * bits.astype(np.int64) - 1  # (total_tokens, 64)
-        offsets = np.zeros(len(text), dtype=np.int64)
-        np.cumsum(counts[:-1], out=offsets[1:])
-        nonempty = counts > 0
-        acc = np.add.reduceat(contrib, offsets[nonempty], axis=0)  # (n_nonempty, 64)
-        vals = ((np.uint64(1) << np.arange(64, dtype=np.uint64)) * (acc > 0)).sum(
-            axis=1, dtype=np.uint64
-        )
-        out[nonempty] = vals.astype(np.int64)
-    return pd.Series(out)
+def make_simhash_udf(n: int = 1):
+    """Arrow-batched simhash over word ``n``-grams (n=1 = plain tokens).
+
+    All grams of the batch are hashed in one ``pd.util.hash_array`` call
+    (C-level SipHash — deterministic, well-distributed; NOT two crc32
+    variants, which are affine in the init value and degenerate), then the
+    per-row bit-majority runs as segment sums over the batch matrix. Python
+    never touches individual rows beyond tokenization.
+
+    n-gram features (n=3) make the fingerprint far more discriminative on
+    small-vocabulary corpora: random template-generated docs share many TOKENS
+    (signatures correlate, blocking buckets explode) but few 3-grams —
+    measured on the fixture: true near-dup pairs tighten from hamming<=8 to
+    hamming<=5 while random-pair collisions drop.
+    """
+
+    @pandas_udf(T.LongType())
+    def sim(text: pd.Series) -> pd.Series:
+        if len(text) == 0:
+            return pd.Series([], dtype="int64")
+        gram_lists = []
+        for t in text.fillna(""):
+            toks = t.lower().split()
+            gram_lists.append(
+                [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                if len(toks) >= n
+                else ([t.lower().strip()] if t.strip() else [])
+            )
+        counts = np.array([len(g) for g in gram_lists], dtype=np.int64)
+        flat = [g for gs in gram_lists for g in gs]
+        out = np.zeros(len(text), dtype=np.int64)
+        if flat:
+            hs = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, one C call
+            # one-byte bit matrix via unpackbits (8x less memory traffic than
+            # shift-and-mask int64 matrices — the cold-path cost is allocation,
+            # not FLOPs); bit order is arbitrary-but-fixed, which hamming
+            # distance and the pigeonhole blocking are both invariant to
+            bits = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )  # (total_grams, 64) uint8
+            offsets = np.zeros(len(text), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            nonempty = counts > 0
+            ones = np.add.reduceat(bits, offsets[nonempty], axis=0).astype(np.int64)
+            acc = 2 * ones - counts[nonempty][:, None]  # (n_nonempty, 64) majority sign
+            vals = ((np.uint64(1) << np.arange(64, dtype=np.uint64)) * (acc > 0)).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nonempty] = vals.astype(np.int64)
+        return pd.Series(out)
+
+    return sim
+
+
+simhash_udf = make_simhash_udf(1)  # token-level variant (back-compat name)
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
 ) -> DataFrame:
-    """(_id, _sig) 64-bit simhash per doc, entirely JVM-side.
+    """(_id, _sig) 64-bit simhash per doc via the Arrow-batched UDF.
 
-    Explode tokens, hash each once with xxhash64, then ONE hash aggregate of
-    64 conditional sums (bit j contributes +1/-1 per token); the signature is
-    reassembled bit-by-bit from the majority signs. Map-side partial sums keep
-    the shuffle at one 64-int row per doc per partition. Empty docs hash the
-    empty token (constant signature), matching the single-shingle fallback of
-    :func:`shingles`.
+    Why not JVM expressions: the per-bit majority writes naturally as one hash
+    aggregate of 64 conditional sums over exploded tokens, but 64 aggregate
+    expressions exceed whole-stage codegen's limits and the aggregate runs
+    interpreted (measured 2.6 s over 270k token rows — ~20x slower than the
+    batch UDF, which hashes all grams of a batch in one C call and reduces
+    the bit matrix with numpy reduceat). See make_simhash_udf.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    return df.select(
+        F.col(id_col).alias("_id"), make_simhash_udf(n)(F.col(text_col)).alias("_sig")
     )
-    toks = F.when(F.size(toks) > 0, toks).otherwise(F.array(F.lit("")))
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_t"))
-    h = F.xxhash64(F.col("_t"))
-    bit = lambda j: F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1).cast("long"))  # noqa: E731
-    acc = ex.groupBy("_id").agg(
-        *[F.sum(bit(j) * 2 - 1).alias(f"_a{j}") for j in range(64)]
-    )
-    sig = F.lit(0).cast("long")
-    for j in range(64):
-        sig = sig.bitwiseOR(
-            F.shiftleft(F.when(F.col(f"_a{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
-        )
-    return acc.select("_id", sig.alias("_sig"))
 
 
 def _hamming_blocks(max_hamming: int) -> list[tuple[int, int]]:
@@ -301,7 +336,12 @@ def _hamming_blocks(max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket_size: int | None = None,
+    n: int = 1,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) by simhash hamming distance.
 
@@ -309,9 +349,21 @@ def simhash_near_dups(
     is GUARANTEED by pigeonhole for any max_hamming (the round-1 fixed
     4-quadrant scheme silently missed pairs whose differing bits spread across
     all four quadrants once max_hamming > 3). Narrower blocks admit more
-    candidates — the hamming verify prunes them exactly.
+    candidates — the hamming verify prunes them exactly, and it runs BEFORE
+    the pair distinct: hamming is per-joined-row arithmetic, so filtering
+    first shrinks the distinct's shuffle from every bucket collision (measured
+    1.6M raw pairs on 5k clustered docs) to just the near-dups.
+
+    ``max_bucket_size`` drops blocking buckets larger than the cap before the
+    self-join — the standard LSH guard against quadratic blowup on skewed
+    corpora (template-generated docs collapse into a few hot buckets). Capped
+    buckets cost recall for pairs ONLY co-occurring in hot buckets; leave None
+    for guaranteed recall.
     """
-    sig = simhash_signatures(df, text_col, id_col)
+    # materialized once: both self-join sides and every broadcast branch read
+    # the checkpointed (id, sig) blocks instead of re-running the Arrow UDF
+    # subtree (Spark cannot exchange-reuse across Python eval stages)
+    sig = simhash_signatures(df, text_col, id_col, n=n).localCheckpoint(eager=True)
     blocks = _hamming_blocks(max_hamming)
     parts = []
     for q, (off, w) in enumerate(blocks):
@@ -322,6 +374,13 @@ def simhash_near_dups(
     quads = sig.select("_id", "_sig", F.explode(F.array(*parts)).alias("qq")).select(
         "_id", "_sig", "qq.q", "qq.key"
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("q", "key")
+        quads = (
+            quads.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a, b = quads.alias("a"), quads.alias("b")
     pairs = (
         a.join(b, ["q", "key"])
@@ -331,8 +390,8 @@ def simhash_near_dups(
             F.col("b._id").alias("id_b"),
             F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs
 

@@ -30,15 +30,16 @@ def get_spark(
     """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
-    # Pin JVM service threads (GC, JIT) to the advertised core count: a
-    # local[8] session on a 32-CPU box otherwise runs 32 GC threads — free
-    # extra CPUs a real 8-core executor would not have, which silently inflates
-    # low-parallelism throughput and skews N-vs-4N scaling comparisons.
-    gc_threads = max(cores, 2)
+    # JVM service threads (GC, JIT) are sized for the MACHINE, not the session:
+    # the py4j gateway JVM launches once per python process, so these options
+    # only take effect for the first session — and pinning them low starves a
+    # later local[32] session (measured: 8 GC threads under 32 executor
+    # threads doubles wall time with wild variance, GC-bound).
+    gc_threads = max(DEFAULT_CPUS, 2)
     java_opts = (
         f"-XX:ParallelGCThreads={gc_threads} "
         f"-XX:ConcGCThreads={max(gc_threads // 4, 1)} "
-        f"-XX:CICompilerCount={max(min(cores, 4), 2)}"
+        f"-XX:CICompilerCount=4"
     )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
