@@ -25,6 +25,21 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input has
+    fewer partitions. A small single-file parquet scan is ONE partition, which
+    serializes every downstream Arrow-UDF and higher-order-function stage onto
+    one core (event-log profiled: 5-12 s single-task signature evals). At real
+    scale the scan already has thousands of splits and this is a no-op — the
+    repartition only ever fires in the small-input regime where its shuffle is
+    trivially cheap."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -82,7 +97,7 @@ def minhash_signatures(
     Arrow batch in one C call and takes segment minima in numpy; Python never
     touches individual rows. See make_minhash_udf.
     """
-    return df.select(
+    return _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         make_minhash_udf(k, n)(F.col(text_col)).alias("_sig"),
     )
@@ -125,7 +140,9 @@ def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 42):
         M = H[:, None] * A[None, :] + B[None, :]  # uint64 wrap-mix
         mins = np.minimum.reduceat(M, offsets[:-1], axis=0)  # (n_rows, k)
         out = mins.astype(np.int64)
-        return pd.Series(list(out.tolist()))
+        # Series of ndarray rows: Arrow converts them directly — building
+        # python list-of-lists here costs k * n_rows PyLong boxings
+        return pd.Series(list(out))
 
     return sig
 
@@ -216,11 +233,19 @@ def exact_jaccard_verify(
     broadcast_limit = 2_000_000
     small = candidates.count() <= broadcast_limit
     hint = F.broadcast if small else (lambda x: x)
-    base = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias("_id")
     ).distinct()
-    base = base.join(hint(cand_ids), "_id", "left_semi")
+    # prune FIRST (broadcast semi join), parallelize, THEN build shingle
+    # arrays, and materialize them once: the higher-order-function shingle
+    # expressions are interpreted (not codegen'd), and without the checkpoint
+    # each of the sh_a/sh_b branches and their broadcast builds re-evaluates
+    # them (profiled: 2 x ~4 s single-task broadcast builds)
+    base = (
+        _ensure_parallelism(df.join(hint(cand_ids), F.col(id_col) == F.col("_id"), "left_semi"))
+        .select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
@@ -316,7 +341,7 @@ def simhash_signatures(
     batch UDF, which hashes all grams of a batch in one C call and reduces
     the bit matrix with numpy reduceat). See make_simhash_udf.
     """
-    return df.select(
+    return _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), make_simhash_udf(n)(F.col(text_col)).alias("_sig")
     )
 
