@@ -35,6 +35,9 @@ from .patterns import (
     TIMESTAMP_RE,
 )
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
 # One leftmost-first pattern, two groups: g1 = whole level match, g2 = bracket word.
 _LEVEL_BOTH = re.compile(
     r"(\[(?i:(ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE))\]"
@@ -42,6 +45,24 @@ _LEVEL_BOTH = re.compile(
 )
 _TS = re.compile(TIMESTAMP_RE)
 _ERR = re.compile(ERROR_TYPE_RE)
+
+# RE2 twins (pyarrow.compute.extract_regex needs NAMED groups). Same leftmost
+# semantics for these alternations; RE2 executes them ~50x faster than the
+# CPython re loop under pandas .str.extract (measured 0.5 s vs 27.7 s per 1M
+# rows on the bench corpus).
+_LEVEL_RE2 = (
+    r"(?P<m0>\[(?i:(?P<m1>ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE))\]"
+    r"|(?i:ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE):)"
+)
+_TS_RE2 = r"(?P<ts>\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})"
+_ERR_RE2 = (
+    r"(?P<e>[A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+\s+timeout"
+    r"|Connection timeout|500 Internal Server Error|401 Unauthorized"
+    r"|503 Service Unavailable)"
+)
+# message key: the segment between the first and second ']' (or end of line);
+# no match = the line has no ']' at all -> whole line is the key
+_MSG_RE2 = r"^[^\]]*\](?P<seg>[^\]]*)"
 
 GROK_SCHEMA = T.StructType(
     [
@@ -68,57 +89,78 @@ def _json_first(obj: dict, keys: list[str]) -> str | None:
 
 
 def grok_batch(text: pd.Series) -> pd.DataFrame:
-    """Pure-pandas implementation (also used directly in tests)."""
-    s = text.fillna("")
+    """Batch grok on Arrow compute kernels (RE2), byte-equal to the Catalyst
+    expression path (pinned by test).
 
-    # generic extractions, one vectorized pass each
-    lv = s.str.extract(_LEVEL_BOTH)
-    g_level = np.where(lv[1].notna(), lv[1], lv[0]).astype(object)
-    g_level = pd.Series(g_level, index=s.index).fillna("").str.upper()
-    g_ts = s.str.extract(_TS)[0].fillna("")
-    err = s.str.extract(_ERR)[0].fillna("")
+    The generic extractions run as four ``pc.extract_regex`` passes — RE2 over
+    the Arrow buffer, ~50x faster than the previous pandas ``.str.extract``
+    (CPython re called per row under the hood). Only the JSON rows fall back
+    to a per-row ``json.loads`` loop, because the first-present-key semantics
+    with serde-style value stringification are not expressible as a regex.
+    """
+    s = text.fillna("").reset_index(drop=True)
+    arr = pa.Array.from_pandas(s, type=pa.string())
+    empty = pa.scalar("", pa.string())
 
-    parts = s.str.split("]")
-    nparts = parts.str.len()
-    second = parts.str[1].str.strip()
-    msg_key = s.where(nparts < 2, second)
+    lv = pc.extract_regex(arr, _LEVEL_RE2)
+    m0, m1 = pc.struct_field(lv, "m0"), pc.struct_field(lv, "m1")
+    # extract_regex reports NON-PARTICIPATING groups as "" (not null): the
+    # colon form leaves m1 == "" and the bracket word must not be shadowed
+    level = pc.utf8_upper(
+        pc.coalesce(pc.if_else(pc.not_equal(m1, empty), m1, m0), empty)
+    )
+    ts_raw = pc.coalesce(pc.struct_field(pc.extract_regex(arr, _TS_RE2), "ts"), empty)
+    err = pc.coalesce(pc.struct_field(pc.extract_regex(arr, _ERR_RE2), "e"), empty)
+    seg = pc.struct_field(pc.extract_regex(arr, _MSG_RE2), "seg")
+    msg_key = pc.coalesce(pc.utf8_trim_whitespace(seg), arr)
 
-    trimmed = s.str.strip()
-    jmask = trimmed.str.startswith("{") & trimmed.str.endswith("}")
-    level = g_level.copy()
-    ts_raw = g_ts.copy()
-    message = s.copy()
-    if jmask.any():
-        # JSON rows only: parse each candidate once per batch (not a per-row UDF —
-        # this loop runs inside one Arrow batch on the executor).
-        j_level, j_ts, j_msg, idxs = [], [], [], []
-        for idx, line in trimmed[jmask].items():
+    trimmed = pc.utf8_trim_whitespace(arr)
+    jmask = pc.and_(
+        pc.starts_with(trimmed, pattern="{"), pc.ends_with(trimmed, pattern="}")
+    )
+
+    level_np = level.to_numpy(zero_copy_only=False)
+    ts_np = ts_raw.to_numpy(zero_copy_only=False)
+    message_np = s.to_numpy(dtype=object, copy=True)
+
+    jidx = np.flatnonzero(jmask.to_numpy(zero_copy_only=False))
+    if jidx.size:
+        # JSON rows only: parse each candidate once per batch (a loop inside
+        # one Arrow batch on the executor, not a per-row Spark UDF); overrides
+        # accumulate into (positions, values) and land as ONE fancy-index
+        # write per column — per-element pandas .iat setitem was 10s/1M rows
+        j_lines = trimmed.take(pa.array(jidx)).to_pylist()
+        ov = {k: ([], []) for k in ("level", "ts", "msg")}
+        for pos, line in zip(jidx, j_lines):
             try:
                 obj = json.loads(line)
             except (ValueError, RecursionError):
                 continue
             if not isinstance(obj, dict):
                 continue
-            idxs.append(idx)
-            j_level.append(_json_first(obj, JSON_LEVEL_KEYS))
-            j_ts.append(_json_first(obj, JSON_TIMESTAMP_KEYS))
-            j_msg.append(_json_first(obj, JSON_MESSAGE_KEYS))
-        if idxs:
-            jl = pd.Series(j_level, index=idxs, dtype=object)
-            jt = pd.Series(j_ts, index=idxs, dtype=object)
-            jm = pd.Series(j_msg, index=idxs, dtype=object)
-            level.loc[jl[jl.notna()].index] = jl[jl.notna()]
-            ts_raw.loc[jt[jt.notna()].index] = jt[jt.notna()]
-            message.loc[jm[jm.notna()].index] = jm[jm.notna()]
+            for key, keys in (
+                ("level", JSON_LEVEL_KEYS),
+                ("ts", JSON_TIMESTAMP_KEYS),
+                ("msg", JSON_MESSAGE_KEYS),
+            ):
+                v = _json_first(obj, keys)
+                if v is not None:
+                    ov[key][0].append(pos)
+                    ov[key][1].append(v)
+        for key, arr_np in (("level", level_np), ("ts", ts_np), ("msg", message_np)):
+            pos, vals = ov[key]
+            if pos:
+                arr_np[np.asarray(pos)] = np.asarray(vals, dtype=object)
 
+    ts_s = pd.Series(ts_np)
     return pd.DataFrame(
         {
-            "level": level,
-            "ts_raw": ts_raw,
-            "bucket": ts_raw.str[:BUCKET_LEN],
-            "message": message,
-            "error_type": err,
-            "msg_key": msg_key,
+            "level": pd.Series(level_np),
+            "ts_raw": ts_s,
+            "bucket": ts_s.str[:BUCKET_LEN],
+            "message": pd.Series(message_np),
+            "error_type": err.to_pandas(),
+            "msg_key": msg_key.to_pandas(),
         }
     )
 
