@@ -59,3 +59,29 @@ def test_count_fast_path_prunes_aggregates(spark, src):
     df = Timber.over(src).chop("ERROR").matched().groupBy().count()
     plan = plan_of(df)
     assert "json_tuple" not in plan  # parse projection pruned away entirely
+
+
+def test_brute_force_topk_reduces_before_window(spark):
+    """The global rank window must consume the mapInPandas partial top-k, not
+    the full scored cross product — at 100 TB the difference between a window
+    over the corpus and one over k x queries x partitions rows."""
+    from timberjack_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(brute_force_topk(e, e.filter(F.col("vec_id") < 3), k=2))
+    assert "MapInPandas" in plan
+    # the partial top-k sits below the window's sort/exchange
+    assert plan.index("MapInPandas") > plan.index("Window")
+
+
+def test_minhash_verify_join_is_broadcast(spark):
+    """Candidate pairs are measured-small -> the verify joins must broadcast
+    (a stats-less checkpoint scan otherwise falls back to SortMergeJoin and
+    shuffles the shingle arrays)."""
+    from timberjack_spark.operators.dedup import minhash_near_dups
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = minhash_near_dups(d, threshold=0.5, bands=32)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
