@@ -44,6 +44,35 @@ def test_read_and_detect(spark):
     assert t.count() == 6000
 
 
+def test_read_text_and_gzip_log(spark, corpus, tmp_path):
+    """Raw .log and .log.gz files read through the text path (Hadoop codec
+    decodes gzip transparently), like the reference reads plain log files."""
+    import gzip
+
+    pdf, _ = corpus
+    lines = pdf["text"].head(200).tolist()
+    plain = tmp_path / "app.log"
+    plain.write_text("\n".join(lines))
+    gz = tmp_path / "app.log.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("\n".join(lines))
+    n_plain = Timber.read(spark, str(plain)).count()
+    n_gz = Timber.read(spark, str(gz)).count()
+    assert n_plain == n_gz == 200
+    # same analysis result from both encodings
+    c_plain = Timber.read(spark, str(plain)).chop("ERROR").count()
+    c_gz = Timber.read(spark, str(gz)).chop("ERROR").count()
+    assert c_plain == c_gz
+
+
+def test_format_validation_fails_eagerly(spark, corpus):
+    _, df = corpus
+    with pytest.raises(ValueError, match="format must be one of"):
+        Timber.over(df).format("apache")
+    with pytest.raises(ValueError, match="format must be one of"):
+        Timber.read(spark, transcripts_path("sf0.001"), fmt="syslog")
+
+
 def test_route_to(spark, corpus, tmp_path):
     _, df = corpus
     out = Timber.over(df.drop("ts")).route_to(str(tmp_path / "sinks"), n_buckets=4)

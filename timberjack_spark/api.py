@@ -52,7 +52,11 @@ class Timber:
     def read(spark: SparkSession, path: str, fmt: str | None = None, text_col: str = "text") -> "Timber":
         """fmt: 'json' | 'generic' | 'auto' | 'detect' (sampled probe, like the
         reference's automatic detection) | None -> 'auto' (per-row)."""
-        df = spark.read.parquet(path) if not path.endswith((".txt", ".log")) else (
+        text_suffixes = (
+            ".txt", ".log",
+            ".txt.gz", ".log.gz", ".txt.bz2", ".log.bz2",  # Hadoop codecs decode transparently
+        )
+        df = spark.read.parquet(path) if not path.endswith(text_suffixes) else (
             spark.read.text(path).withColumnRenamed("value", text_col)
         )
         t = Timber(df=df, text_col=text_col)
