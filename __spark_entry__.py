@@ -308,6 +308,42 @@ def _q_mktsegment_pivot(spark, sf_dir):
     )
 
 
+def _q_events_asof_click(spark, sf_dir):
+    """As-of join (custom temporal operator — union + running-last, one
+    shuffle): for each error event, the latest click of the same user at or
+    before it."""
+    from timberjack_spark.operators.temporal import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        err, clicks, ["user_id"], "ts", "ts",
+        payload_cols=["event_id", "ts", "value"], tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("click_id"),
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
+def _q_events_range_ctx(spark, sf_dir):
+    """Range join (custom temporal operator — time-bin blocking equi-join):
+    per error event, how many events the same user produced in the previous
+    30 minutes."""
+    from timberjack_spark.operators.temporal import range_join_count
+
+    ev = _tbl(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    return range_join_count(
+        err, ev, ["user_id"], "ts", "ts", lower_sec=-1800, upper_sec=0,
+        count_alias="n_prior_30m",
+    ).select("event_id", "user_id", "n_prior_30m")
+
+
 def _q_doc_dedup_stats(spark, sf_dir):
     d = _tbl(spark, sf_dir, "documents")
     return d.agg(
@@ -514,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_rollup": _q_orders_rollup,
         "q_lineitem_running": _q_lineitem_running,
         "q_mktsegment_pivot": _q_mktsegment_pivot,
+        "q_events_asof_click": _q_events_asof_click,
+        "q_events_range_ctx": _q_events_range_ctx,
         "d_doc_dedup_stats": _q_doc_dedup_stats,
         "d_doc_token_stats": _q_doc_token_stats,
         "t_level_histogram_grok": _q_level_histogram_grok,
@@ -807,6 +845,24 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
+        "q_events_asof_click": """WITH err AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+            clk AS (
+              SELECT user_id, ts, event_id, value FROM (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click') WHERE rn = 1)
+            SELECT e.event_id, e.user_id, c.event_id AS click_id,
+                   c.ts AS click_ts, c.value AS click_value
+            FROM err e ASOF LEFT JOIN clk c
+              ON e.user_id = c.user_id AND e.ts >= c.ts""",
+        "q_events_range_ctx": """WITH err AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+            SELECT e.event_id, e.user_id, count(r.event_id) AS n_prior_30m
+            FROM err e LEFT JOIN events r
+              ON e.user_id = r.user_id
+             AND r.ts >= e.ts - INTERVAL 30 MINUTE AND r.ts < e.ts
+            GROUP BY e.event_id, e.user_id""",
         "d_doc_dedup_stats": """SELECT count(*) AS n_docs,
             count(DISTINCT md5(text)) AS n_distinct,
             count(*) - count(DISTINCT md5(text)) AS n_dup_docs
