@@ -1,0 +1,68 @@
+"""Property-based parse-semantics check: hypothesis-generated log-ish lines
+through the Spark expression path must match the pure-Python reference oracle
+(tests/oracle_ref.py) — the same function family the DuckDB driver oracle
+mirrors, so this fuzzes the space between the pinned example tests."""
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import oracle_ref
+from timberjack_spark.functions.extract import with_parsed
+
+LEVELS = ["ERROR", "WARN", "INFO", "DEBUG", "TRACE", "SEVERE", "WARNING", "FINE",
+          "error", "Err", "warn"]
+WORDS = ["Cache", "miss", "user_42", "Connection", "timeout", "NullPointerException",
+         "served", "rate", "limit", "[x]", "]", "[", "{", "}", ":", "a.b"]
+
+line_st = st.one_of(
+    # bracketed-level generic lines
+    st.builds(
+        lambda ts, lv, words: f"{ts} [{lv}] " + " ".join(words),
+        st.sampled_from(["2025-03-21 14:02:03", "1999-12-31 23:59:59", "not-a-ts", ""]),
+        st.sampled_from(LEVELS),
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=6),
+    ),
+    # colon-form lines
+    st.builds(
+        lambda lv, words: f"{lv}: " + " ".join(words),
+        st.sampled_from(LEVELS),
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=5),
+    ),
+    # JSON lines (valid + malformed via truncation)
+    st.builds(
+        lambda lv, msg, trunc: (
+            json.dumps({"level": lv, "timestamp": "2025-03-21T14:02:03Z", "message": msg})[
+                : (-3 if trunc else None)
+            ]
+        ),
+        st.sampled_from(LEVELS),
+        st.text(alphabet="abc ]{[}", max_size=12),
+        st.booleans(),
+    ),
+    # arbitrary junk
+    st.text(alphabet="abcERROR[]{}:1 .\t", max_size=40),
+)
+
+
+@pytest.mark.slow
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(line_st, min_size=1, max_size=25))
+def test_parse_matches_python_reference(spark, lines):
+    lines = [ln for ln in lines if len(ln) > 0]
+    if not lines:
+        return
+    df = spark.createDataFrame([(ln,) for ln in lines], "text string")
+    got = {
+        (r["text"], r["level"], r["bucket"], r["msg_key"])
+        for r in with_parsed(df).select("text", "level", "bucket", "msg_key").collect()
+    }
+    want = set()
+    for ln in lines:
+        parsed = oracle_ref.parse_line(ln, "auto")
+        level = oracle_ref.extract_level(ln, parsed.get("level"))
+        ts = oracle_ref.extract_ts(ln, parsed.get("ts"))
+        want.add((ln, level, ts[:13], oracle_ref.msg_key(ln)))
+    assert got == want
