@@ -45,6 +45,18 @@ def json_first(text: Column, keys: list[str]) -> Column:
     return F.coalesce(*[F.get_json_object(text, _json_path(k)) for k in keys])
 
 
+_WS = " \t\n\r\x0b\x0c"
+
+
+def ws_trim(col: Column) -> Column:
+    """Whitespace trim matching the reference's Rust ``str::trim`` (and
+    Python ``str.strip``) for the ASCII whitespace class. Spark's ``F.trim``
+    strips ONLY spaces — a tab after the first ``]`` or around a JSON line
+    silently diverges (found by the hypothesis fuzzer, not the example
+    tests)."""
+    return F.btrim(col, F.lit(_WS))
+
+
 def generic_level(text: Column) -> Column:
     """Level via LEVEL_RE: bracket form -> captured word; colon form -> whole
     match including the colon; both uppercased; '' when no match.
@@ -82,14 +94,14 @@ def message_key(text: Column) -> Column:
     parts (reference: src/analyzer.rs:349-355 — applied to the raw matched line
     even under the JSON parser)."""
     parts = F.split(text, r"\]")
-    return F.when(F.size(parts) >= 2, F.trim(F.element_at(parts, 2))).otherwise(text)
+    return F.when(F.size(parts) >= 2, ws_trim(F.element_at(parts, 2))).otherwise(text)
 
 
 def is_jsonish(text: Column) -> Column:
     """Row-level analog of the reference's sampled format detection: a trimmed
     line framed by braces takes the JSON parse path (invalid JSON inside still
     falls back per-field, matching parse-failure -> generic-fallback)."""
-    t = F.trim(text)
+    t = ws_trim(text)
     return t.startswith("{") & t.endswith("}")
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions.extract import _json_path
+from ..functions.extract import _json_path, ws_trim
 from ..functions.patterns import is_complex_pattern
 
 
@@ -59,7 +59,9 @@ def field_predicate(text: Column, key: str, value: str, mode: str = "auto") -> C
     if mode == "generic":
         return fallback
     field = F.get_json_object(text, _json_path(key.strip()))
-    return F.when(field.isNotNull(), F.lower(F.trim(field)) == value.strip().lower()).otherwise(fallback)
+    # ws_trim, not F.trim: the reference trims whitespace (Rust str::trim),
+    # Spark's trim strips spaces only
+    return F.when(field.isNotNull(), F.lower(ws_trim(field)) == value.strip().lower()).otherwise(fallback)
 
 
 def field_filters_predicate(text: Column, filters: dict[str, str], mode: str = "auto") -> Column:

@@ -27,8 +27,19 @@ def _json_first_sql(col: str, keys: list[str]) -> str:
     return f"coalesce({parts})"
 
 
+# DuckDB trim() strips spaces only, like Spark's F.trim — the engine matches
+# the reference's Rust str::trim (whitespace), so the oracle must too
+_WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+
+def _ws_trim_sql(expr: str) -> str:
+    return f"trim({expr}, {_WS_SQL})"
+
+
 def _jsonish_sql(col: str) -> str:
-    return f"(starts_with(trim({col}), '{{') AND ends_with(trim({col}), '}}'))"
+    return (
+        f"(starts_with({_ws_trim_sql(col)}, '{{') AND ends_with({_ws_trim_sql(col)}, '}}'))"
+    )
 
 
 def generic_level_sql(col: str = "text") -> str:
@@ -65,9 +76,10 @@ def message_sql(col: str = "text") -> str:
 
 
 def msg_key_sql(col: str = "text") -> str:
+    seg = _ws_trim_sql("string_split(" + col + ", ']')[2]")
     return (
         f"CASE WHEN len(string_split({col}, ']')) >= 2 "
-        f"THEN trim(string_split({col}, ']')[2]) ELSE {col} END"
+        f"THEN {seg} ELSE {col} END"
     )
 
 
