@@ -4,6 +4,7 @@ through the Spark expression path must match the pure-Python reference oracle
 mirrors, so this fuzzes the space between the pinned example tests."""
 
 import json
+import os
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -11,6 +12,8 @@ from hypothesis import strategies as st
 
 import oracle_ref
 from timberjack_spark.functions.extract import with_parsed
+
+MAX_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "30"))
 
 LEVELS = ["ERROR", "WARN", "INFO", "DEBUG", "TRACE", "SEVERE", "WARNING", "FINE",
           "error", "Err", "warn"]
@@ -48,21 +51,23 @@ line_st = st.one_of(
 
 
 @pytest.mark.slow
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=MAX_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(line_st, min_size=1, max_size=25))
 def test_parse_matches_python_reference(spark, lines):
     lines = [ln for ln in lines if len(ln) > 0]
     if not lines:
         return
     df = spark.createDataFrame([(ln,) for ln in lines], "text string")
-    got = {
-        (r["text"], r["level"], r["bucket"], r["msg_key"])
-        for r in with_parsed(df).select("text", "level", "bucket", "msg_key").collect()
-    }
+    cols = ["text", "level", "bucket", "message", "error_type", "msg_key"]
+    got = {tuple(r[c] for c in cols) for r in with_parsed(df).select(*cols).collect()}
     want = set()
     for ln in lines:
         parsed = oracle_ref.parse_line(ln, "auto")
         level = oracle_ref.extract_level(ln, parsed.get("level"))
         ts = oracle_ref.extract_ts(ln, parsed.get("ts"))
-        want.add((ln, level, ts[:13], oracle_ref.msg_key(ln)))
+        em = oracle_ref.ERR_RE.search(ln)
+        want.add(
+            (ln, level, ts[:13], parsed["message"],
+             em.group(1) if em else "", oracle_ref.msg_key(ln))
+        )
     assert got == want
