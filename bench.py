@@ -130,13 +130,23 @@ def scaling_measurement(low_cores: int, high_cores: int, src: str, rounds: int |
             wh, ch = timed_flagship(high_cores, src, runs=RUNS, warm=False)
             wl, cl = timed_flagship(low_cores, src, runs=1, warm=False)
         pairs.append((wl / wh, wl, wh, cl, ch))
-    ordered = sorted(pairs)
-    ratio, t_low, t_high, cpu_low, cpu_high = ordered[len(ordered) // 2]
+    # Interference on this box is strictly ADDITIVE (neighbors can only slow a
+    # run down), so the min wall per side across all rounds is the consistent
+    # estimator of that side's true cost, and their ratio the best estimate of
+    # the speedup. Per-round paired ratios are returned too: when the box is
+    # quiet they agree with the min-based number (observed 3.45-3.71 vs 3.7);
+    # when it is not, individual rounds scatter from 1.9 to 5.5 and any single
+    # pair — including the median — is the noise, not the measurement.
+    i_low = min(range(len(pairs)), key=lambda i: pairs[i][1])
+    i_high = min(range(len(pairs)), key=lambda i: pairs[i][2])
+    t_low, cpu_low = pairs[i_low][1], pairs[i_low][3]
+    t_high, cpu_high = pairs[i_high][2], pairs[i_high][4]
+    median_ratio = sorted(p[0] for p in pairs)[len(pairs) // 2]
     all_rounds = [
         {"t_low": round(p[1], 2), "t_high": round(p[2], 2), "ratio": round(p[0], 3)}
         for p in pairs
     ]
-    return t_low, t_high, cpu_low, cpu_high, all_rounds
+    return t_low, t_high, cpu_low, cpu_high, all_rounds, median_ratio
 
 
 def main():
@@ -158,7 +168,9 @@ def main():
     # thread scaling, not DRAM: measured work ratio 1.016 (flat).
     low_cores = max(CPUS // 8, 1)
     high_cores = 4 * low_cores
-    t_low, t_high, cpu_low, cpu_high, all_rounds = scaling_measurement(low_cores, high_cores, src)
+    t_low, t_high, cpu_low, cpu_high, all_rounds, median_ratio = scaling_measurement(
+        low_cores, high_cores, src
+    )
     efficiency = (t_low / t_high) / (high_cores / low_cores)
     work_efficiency = (cpu_low / cpu_high) if cpu_high else None
 
@@ -198,10 +210,13 @@ def main():
             "cpu_sec_high": round(cpu_high, 1),
             "work_efficiency": round(work_efficiency, 3) if work_efficiency else None,
             "rounds": all_rounds,
+            "efficiency_median_pair": round(median_ratio / (high_cores / low_cores), 3),
             "protocol": (
-                "paired adjacent rounds, min-of-N walls, median ratio; N vs 4N "
-                "cores kept under the single-socket DRAM bandwidth ceiling "
-                "(see BASELINE.md; the full-box pair is reported alongside)"
+                "min wall per side across paired rounds (interference is "
+                "strictly additive, so per-side minima estimate true cost; "
+                "per-round ratios and the median-pair figure ship alongside); "
+                "N vs 4N cores kept under the single-socket DRAM bandwidth "
+                "ceiling — see BASELINE.md; the full-box pair is also reported"
             ),
         },
         "scaling_full_box": {
