@@ -489,6 +489,35 @@ def _q_media_features(spark, sf_dir):
     return extract_features(synthesize_media(d)).select("media_id", "kind", "n_bytes", "sha256")
 
 
+def _q_audio_features(spark, sf_dir):
+    """REAL audio decode: synthesize genuine PCM16 WAV containers, parse them
+    with the stdlib wave module, measure with numpy DSP — the oracle knows the
+    expected values closed-form from the id, so the decoder must actually work
+    to match it."""
+    from timberjack_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_audio_media,
+    )
+
+    d = _tbl(spark, sf_dir, "documents")
+    return extract_audio_features(synthesize_audio_media(d)).select(
+        "media_id", "sr", "n_samples", "duration_ms", "dom_freq_hz"
+    )
+
+
+def _q_image_features(spark, sf_dir):
+    """REAL image decode: binary P6 PPM payloads parsed with pure numpy."""
+    from timberjack_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_image_media,
+    )
+
+    d = _tbl(spark, sf_dir, "documents")
+    return extract_image_features(synthesize_image_media(d)).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 _STREAM_SEQ = [0]
 
 
@@ -565,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_brute_topk": _q_brute_topk,
         "e_lsh_topk": _q_lsh_topk,                # oracle: exact top-k (recall pinned)
         "m_media_features": _q_media_features,
+        "m_audio_features": _q_audio_features,
+        "m_image_features": _q_image_features,
         "e_label_centroids": _q_label_centroids,
         "e_centroid_assign": _q_centroid_assign,
         "e_ivf_topk": _q_ivf_topk,                # oracle: IVF semantics in SQL
@@ -922,6 +953,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN {osql.category_sql()} = 'errors' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
                    max(turn_idx)::BIGINT AS last_turn_idx
             FROM parsed GROUP BY conv_id""",
+        "m_audio_features": """SELECT doc_id AS media_id,
+            8000::BIGINT AS sr,
+            (2000 + (doc_id % 4) * 2000)::BIGINT AS n_samples,
+            ((2000 + (doc_id % 4) * 2000) / 8)::BIGINT AS duration_ms,
+            (50 + doc_id % 100) * 8000.0 / (2000 + (doc_id % 4) * 2000) AS dom_freq_hz
+            FROM documents""",
+        "m_image_features": """SELECT doc_id AS media_id,
+            (16 + doc_id % 16)::BIGINT AS width,
+            (16 + doc_id % 9)::BIGINT AS height,
+            (doc_id * 37 % 256)::DOUBLE AS mean_r,
+            (doc_id * 59 % 256)::DOUBLE AS mean_g,
+            (doc_id * 83 % 256)::DOUBLE AS mean_b
+            FROM documents""",
         "m_media_features": """SELECT doc_id AS media_id,
             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
             octet_length(encode(text)) AS n_bytes,

@@ -4,15 +4,26 @@ Images/audio/video ride through the engine as ``binary`` columns with a typed
 metadata struct; decode/feature stages are Arrow-batched ``mapInPandas``
 operators so payload bytes never round-trip through per-row Python pickling.
 
-The actual image/audio decoders are NOT available in this environment — the
-decode step is stubbed behind a clearly-marked ``NotImplementedError`` with a
-deterministic digest-based fake used for plumbing tests. The Spark-side
-contract (schema, batch shapes, partitioning) is real and tested.
+Decode status per modality:
+
+* **audio — REAL.** Payloads are genuine PCM16 WAV containers; the decode
+  stage parses them with the stdlib ``wave`` module and computes DSP features
+  (RMS, peak, zero-crossing rate, FFT dominant frequency) in numpy. Because
+  the synthesis parameters are a pure function of the id, a SQL oracle can
+  verify the decoded values closed-form — the decoder must actually work to
+  reproduce them.
+* **image — REAL.** Payloads are binary P6 PPM images (header + raw RGB);
+  decoded with a pure-numpy parser into dimensions + channel means.
+* **video — STUBBED.** A container demuxer genuinely is not installable here;
+  ``decode_video`` raises ``NotImplementedError`` and the digest-based fake
+  keeps the plumbing testable.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -61,12 +72,179 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """REAL DECODE STUB: requires an image codec (PIL/cv2), absent here."""
+def decode_video(payload: bytes) -> "np.ndarray":
+    """REAL DECODE STUB: requires a container demuxer (ffmpeg/cv2), absent
+    here; use fake_features() for plumbing tests."""
     raise NotImplementedError(
-        "image decoding requires PIL/cv2 which are not installed in this "
-        "environment; use fake_features() for plumbing tests"
+        "video decoding requires ffmpeg/cv2 which are not installed in this environment"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio: PCM16 WAV synthesis + stdlib decode + numpy DSP features
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 8000
+
+
+def _wav_params(media_id: int) -> tuple[int, int, float]:
+    """(n_samples, fft_bin, amplitude) as a pure function of the id — the
+    contract that lets the SQL oracle verify the decoded features closed-form.
+    The tone frequency is bin * SR / n exactly, so the FFT peak lands on one
+    bin with zero leakage."""
+    n = 2000 + (media_id % 4) * 2000          # 250..1000 ms at 8 kHz
+    k = 50 + (media_id % 100)                 # FFT bin of the tone
+    amp = 0.1 + (media_id % 9) * 0.1
+    return n, k, amp
+
+
+def wav_bytes(media_id: int) -> bytes:
+    """A genuine mono PCM16 WAV container holding a pure tone."""
+    n, k, amp = _wav_params(media_id)
+    i = np.arange(n)
+    samples = np.round(amp * 32767.0 * np.sin(2 * np.pi * k * i / n)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(AUDIO_SR)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Parse a WAV container (stdlib) and measure it (numpy)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr, n, ch, width = w.getframerate(), w.getnframes(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(n)
+    if ch != 1 or width != 2:
+        raise ValueError(f"expected mono PCM16, got channels={ch} sampwidth={width}")
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32767.0
+    spec = np.abs(np.fft.rfft(x))
+    kbin = int(spec[1:].argmax()) + 1  # skip DC
+    return {
+        "sr": sr,
+        "n_samples": n,
+        "duration_ms": n * 1000 // sr,
+        "rms": float(np.sqrt((x**2).mean())),
+        "peak": float(np.abs(x).max()),
+        "zcr": float((np.diff(np.signbit(x)) != 0).mean()),
+        "dom_freq_hz": kbin * sr / n,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sr long, n_samples long, duration_ms long, "
+    "rms double, peak double, zcr double, dom_freq_hz double"
+)
+
+
+def synthesize_audio_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): real WAV bytes per row, built Arrow-batch-wise."""
+    base = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [wav_bytes(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    return base.mapInPandas(gen, "media_id long, payload binary")
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: WAV container -> DSP features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [decode_audio(p) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image: P6 PPM synthesis + pure-numpy decode
+# ---------------------------------------------------------------------------
+
+
+def _ppm_params(media_id: int) -> tuple[int, int, tuple[int, int, int]]:
+    w = 16 + (media_id % 16)
+    h = 16 + (media_id % 9)
+    rgb = (media_id * 37 % 256, media_id * 59 % 256, media_id * 83 % 256)
+    return w, h, rgb
+
+
+def ppm_bytes(media_id: int) -> bytes:
+    """A genuine binary P6 PPM image (solid color — the decode contract is
+    what matters; the SQL oracle knows the expected dims and channel means)."""
+    w, h, (r, g, b) = _ppm_params(media_id)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = r, g, b
+    return header + px.tobytes()
+
+
+def decode_image(payload: bytes) -> dict:
+    """Pure-numpy P6 PPM parser: header then raw RGB bytes."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary P6 PPM payload")
+    parts, idx = [], 2
+    while len(parts) < 3:  # width, height, maxval (comments not generated)
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        parts.append(int(payload[start:idx]))
+    idx += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx).reshape(h, w, 3)
+    return {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "mean_r": float(px[..., 0].mean()),
+        "mean_g": float(px[..., 1].mean()),
+        "mean_b": float(px[..., 2].mean()),
+    }
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, width long, height long, maxval long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def synthesize_image_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    base = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [ppm_bytes(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    return base.mapInPandas(gen, "media_id long, payload binary")
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [decode_image(p) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
 def fake_features(payload: bytes) -> np.ndarray:
@@ -88,7 +266,7 @@ def extract_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
         for pdf in it:
             payloads = pdf["payload"]
             if real_decode:
-                feats = [decode_image(p) for p in payloads]  # NotImplementedError by design
+                feats = [decode_video(p) for p in payloads]  # NotImplementedError by design
             else:
                 feats = [fake_features(p).tolist() for p in payloads]
             yield pd.DataFrame(
