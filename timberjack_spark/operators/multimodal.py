@@ -141,7 +141,9 @@ AUDIO_FEATURE_SCHEMA = (
 
 def synthesize_audio_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(media_id, payload): real WAV bytes per row, built Arrow-batch-wise."""
-    base = df.select(F.col(id_col).cast("long").alias("media_id"))
+    from .dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(df.select(F.col(id_col).cast("long").alias("media_id")))
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -222,7 +224,9 @@ IMAGE_FEATURE_SCHEMA = (
 
 
 def synthesize_image_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    base = df.select(F.col(id_col).cast("long").alias("media_id"))
+    from .dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(df.select(F.col(id_col).cast("long").alias("media_id")))
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
