@@ -782,13 +782,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT text, json_extract_string(try_cast(text AS JSON), '$.service') AS fv
               FROM read_parquet('{tp}'))
             WHERE CASE WHEN fv IS NOT NULL
-                       THEN lower(trim(fv, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 'api'
+                       THEN lower(trim(fv, {osql.WS_SQL})) = 'api'
                   ELSE contains(lower(text), 'service') AND contains(lower(text), 'api') END""",
         "t_field_filter_nested": f"""SELECT count(*) AS cnt FROM (
               SELECT text, json_extract_string(try_cast(text AS JSON), '$.user.role') AS fv
               FROM read_parquet('{tp}'))
             WHERE CASE WHEN fv IS NOT NULL
-                       THEN lower(trim(fv, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 'admin'
+                       THEN lower(trim(fv, {osql.WS_SQL})) = 'admin'
                   ELSE contains(lower(text), 'user.role') AND contains(lower(text), 'admin') END""",
         # bounded-depth flatten (DuckDB 1.0 has no json_tree): the fixture's
         # JSON grammar nests at most 3 levels with no arrays, so 3 explicit

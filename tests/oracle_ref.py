@@ -12,17 +12,35 @@ import json
 import re
 from collections import Counter
 
+# re.ASCII: the engine's patterns are written in the portable regex subset
+# where \s\d\w are ASCII classes (Java regex and DuckDB RE2 defaults).
+# Python's re is Unicode-aware by default and would match "Connection\xa0timeout"
+# where both production engines do not.
 LEVEL_RE = re.compile(
     r"(\[(?i:(ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE))\]"
-    r"|(?i:ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE):)"
+    r"|(?i:ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE):)",
+    re.ASCII,
 )
-TS_RE = re.compile(r"(\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})")
+TS_RE = re.compile(r"(\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})", re.ASCII)
 ERR_RE = re.compile(
     r"([A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+\s+timeout"
     r"|Connection timeout|500 Internal Server Error|401 Unauthorized"
-    r"|503 Service Unavailable)"
+    r"|503 Service Unavailable)",
+    re.ASCII,
 )
 COMPLEX = set("*?[(|+.^$\\")
+
+# Unicode White_Space — Rust str::trim's set (twin of functions/extract.py:_WS).
+# Python's bare str.strip() would ALSO strip \x1c-\x1f (not White_Space), so
+# data-path trims below pass this set explicitly.
+WS = "".join(
+    chr(cp)
+    for cp in (
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )
+)
 
 TS_KEYS = ["timestamp", "time", "@timestamp", "date", "datetime"]
 LEVEL_KEYS = ["level", "severity", "loglevel", "log_level", "@level"]
@@ -43,7 +61,7 @@ def _jfirst(obj, keys):
 
 def parse_line(line: str, mode: str) -> dict:
     out = {"level": None, "ts": None, "message": line}
-    t = line.strip()
+    t = line.strip(WS)
     if mode in ("json", "auto") and t.startswith("{") and (mode == "json" or t.endswith("}")):
         try:
             obj = json.loads(t)
@@ -76,7 +94,7 @@ def extract_ts(line: str, parsed_ts: str | None) -> str:
 
 def msg_key(line: str) -> str:
     parts = line.split("]")
-    return parts[1].strip() if len(parts) >= 2 else line
+    return parts[1].strip(WS) if len(parts) >= 2 else line
 
 
 def analyze_lines(
@@ -111,7 +129,7 @@ def analyze_lines(
             ok = True
             for k, v in fields.items():
                 obj = None
-                t = line.strip()
+                t = line.strip(WS)
                 if t.startswith("{"):
                     try:
                         obj = json.loads(t)
@@ -121,7 +139,7 @@ def analyze_lines(
                 if isinstance(obj, dict):
                     fv = _get_path(obj, k)
                 if fv is not None:
-                    if fv.strip().lower() != v.strip().lower():
+                    if fv.strip(WS).lower() != v.strip().lower():
                         ok = False
                         break
                 else:

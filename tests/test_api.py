@@ -78,3 +78,20 @@ def test_route_to(spark, corpus, tmp_path):
     out = Timber.over(df.drop("ts")).route_to(str(tmp_path / "sinks"), n_buckets=4)
     assert sum(out["counts"].values()) == 2600
     assert set(out["counts"]) == {"errors", "tool-calls", "anomalies", "dialogue"}
+
+
+def test_read_routes_directory_of_text_logs(spark, tmp_path):
+    d = tmp_path / "logdir"
+    d.mkdir()
+    (d / "a.log").write_text("x [ERROR] boom\nok line\n")
+    (d / "b.log").write_text("y [ERROR] bam\n")
+    assert Timber.read(spark, str(d)).chop("ERROR").count() == 2
+
+
+def test_read_rejects_mixed_directory(spark, tmp_path):
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.log").write_text("x\n")
+    (d / "b.parquet").write_bytes(b"PAR1")
+    with pytest.raises(ValueError, match="mixes text logs and parquet"):
+        Timber.read(spark, str(d))

@@ -18,7 +18,10 @@ MAX_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "30"))
 LEVELS = ["ERROR", "WARN", "INFO", "DEBUG", "TRACE", "SEVERE", "WARNING", "FINE",
           "error", "Err", "warn"]
 WORDS = ["Cache", "miss", "user_42", "Connection", "timeout", "NullPointerException",
-         "served", "rate", "limit", "[x]", "]", "[", "{", "}", ":", "a.b"]
+         "served", "rate", "limit", "[x]", "]", "[", "{", "}", ":", "a.b",
+         # non-ASCII Unicode whitespace: the round-2 fuzzer alphabet was
+         # ASCII-only and could not see the ws_trim divergence ADVICE flagged
+         "\xa0", "\u2028", "\u3000"]
 
 line_st = st.one_of(
     # bracketed-level generic lines
@@ -46,7 +49,7 @@ line_st = st.one_of(
         st.booleans(),
     ),
     # arbitrary junk
-    st.text(alphabet="abcERROR[]{}:1 .\t", max_size=40),
+    st.text(alphabet="abcERROR[]{}:1 .\t\xa0\u3000", max_size=40),
 )
 
 

@@ -86,3 +86,33 @@ def test_asof_is_single_shuffle(frames):
     # one exchange for the window partitioning; no join node at all
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_keeps_duplicate_left_rows(spark):
+    # two left rows IDENTICAL in every column must yield two output rows with
+    # per-row counts (the round-2 groupBy-all-left-columns merged them into
+    # one row with a doubled count — ADVICE r2)
+    left = spark.createDataFrame(
+        [(1, 1, ts(1000)), (1, 1, ts(1000))], "lid long, user long, lts timestamp"
+    )
+    right = spark.createDataFrame([(9, 1, ts(950))], "rid long, user long, rts timestamp")
+    rows = range_join_count(
+        left, right, ["user"], "lts", "rts", -100, 0, count_alias="n"
+    ).collect()
+    assert len(rows) == 2
+    assert [r["n"] for r in rows] == [1, 1]
+
+
+def test_range_join_allows_map_payload_columns(spark):
+    # map-typed left payloads are not groupable; the surrogate-id aggregation
+    # must carry them anyway
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(1000))], "lid long, user long, lts timestamp"
+    ).withColumn("m", F.create_map(F.lit("k"), F.lit("v")))
+    right = spark.createDataFrame([(9, 1, ts(950))], "rid long, user long, rts timestamp")
+    rows = range_join_count(
+        left, right, ["user"], "lts", "rts", -100, 0, count_alias="n"
+    ).collect()
+    assert rows[0]["m"] == {"k": "v"} and rows[0]["n"] == 1

@@ -56,8 +56,27 @@ class Timber:
             ".txt", ".log",
             ".txt.gz", ".log.gz", ".txt.bz2", ".log.bz2",  # Hadoop codecs decode transparently
         )
-        df = spark.read.parquet(path) if not path.endswith(text_suffixes) else (
+        is_text = path.endswith(text_suffixes)
+        if not is_text:
+            # a DIRECTORY of text logs must not silently take the parquet
+            # path (it would fail with an opaque footer error, or worse,
+            # half-read mixed content): sniff the member suffixes
+            import os as _os
+
+            if _os.path.isdir(path):
+                members = [m for m in _os.listdir(path) if not m.startswith(("_", "."))]
+                has_text = any(m.endswith(text_suffixes) for m in members)
+                has_parquet = any(m.endswith(".parquet") for m in members)
+                if has_text and has_parquet:
+                    raise ValueError(
+                        f"directory {path!r} mixes text logs and parquet files; "
+                        "point Timber.read at one format (or pass explicit globs)"
+                    )
+                is_text = has_text
+        df = (
             spark.read.text(path).withColumnRenamed("value", text_col)
+            if is_text
+            else spark.read.parquet(path)
         )
         t = Timber(df=df, text_col=text_col)
         if fmt == "detect":

@@ -45,15 +45,28 @@ def json_first(text: Column, keys: list[str]) -> Column:
     return F.coalesce(*[F.get_json_object(text, _json_path(k)) for k in keys])
 
 
-_WS = " \t\n\r\x0b\x0c"
+# Unicode White_Space — the exact set Rust's str::trim (the reference,
+# src/analyzer.rs / parser) strips. Round 2 trimmed only the 6 ASCII
+# whitespace chars, which diverged BOTH from the reference and from the
+# engine's own Arrow grok path (pyarrow utf8_trim_whitespace strips Unicode
+# whitespace): an NBSP around a JSON line flipped is_jsonish on one path but
+# not the other. The DuckDB oracle (plans/oracle.py:WS_SQL) and the Python
+# fuzzer reference (tests/oracle_ref.py:WS) carry the same explicit set.
+_WS = "".join(
+    chr(cp)
+    for cp in (
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )
+)
 
 
 def ws_trim(col: Column) -> Column:
-    """Whitespace trim matching the reference's Rust ``str::trim`` (and
-    Python ``str.strip``) for the ASCII whitespace class. Spark's ``F.trim``
-    strips ONLY spaces — a tab after the first ``]`` or around a JSON line
-    silently diverges (found by the hypothesis fuzzer, not the example
-    tests)."""
+    """Whitespace trim matching the reference's Rust ``str::trim`` (Unicode
+    White_Space). Spark's ``F.trim`` strips ONLY spaces — a tab after the
+    first ``]`` or around a JSON line silently diverges (found by the
+    hypothesis fuzzer, not the example tests)."""
     return F.btrim(col, F.lit(_WS))
 
 

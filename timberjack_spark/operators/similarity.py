@@ -92,8 +92,16 @@ def brute_force_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
         )
     )
+    # id fields keep the INPUT id types (string doc ids work, not just longs)
     reduced = scored.mapInPandas(
-        _partition_topk_fn(k), schema="query_id long, neighbor_id long, cos double"
+        _partition_topk_fn(k),
+        schema=T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                T.StructField("cos", T.DoubleType()),
+            ]
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

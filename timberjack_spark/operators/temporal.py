@@ -94,6 +94,14 @@ def range_join_count(
     width = upper_sec - lower_sec
     if width <= 0:
         raise ValueError("upper_sec must be greater than lower_sec")
+    # Every left row gets a surrogate id BEFORE the 2-bin explode, and the
+    # de-explode aggregates on that id alone: grouping by the left columns
+    # (the round-2 implementation) silently merged duplicate left rows into
+    # one output row with summed counts, and failed outright for
+    # non-groupable column types (maps). The payload columns ride through
+    # ``first()`` — both exploded copies of a row carry identical values, so
+    # first() is deterministic, and map/array payloads stay legal.
+    left = left.withColumn("_lrid", F.monotonically_increasing_id())
     # NTZ timestamps cast via instant type first (session TZ is pinned UTC,
     # so the instant is unchanged); double keeps microsecond precision
     # (epoch ~1.7e9 s needs ~2^51 distinct us values, inside the 53-bit mantissa)
@@ -114,8 +122,12 @@ def range_join_count(
             1,
         ).otherwise(0),
     )
-    group_cols = [c for c in left.columns]
+    payload_cols = [c for c in left.columns if c != "_lrid"]
     return (
-        joined.groupBy(*group_cols)
-        .agg(F.sum("_hit").cast("long").alias(count_alias))
+        joined.groupBy("_lrid")
+        .agg(
+            *[F.first(c).alias(c) for c in payload_cols],
+            F.sum("_hit").cast("long").alias(count_alias),
+        )
+        .drop("_lrid")
     )

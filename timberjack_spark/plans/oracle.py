@@ -28,12 +28,21 @@ def _json_first_sql(col: str, keys: list[str]) -> str:
 
 
 # DuckDB trim() strips spaces only, like Spark's F.trim — the engine matches
-# the reference's Rust str::trim (whitespace), so the oracle must too
-_WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+# the reference's Rust str::trim (Unicode White_Space), so the oracle carries
+# the same explicit char set (twin of functions/extract.py:_WS).
+WS_SQL = "' ' || " + " || ".join(
+    f"chr({cp})"
+    for cp in (
+        [9, 10, 11, 12, 13, 0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )
+)
+_WS_SQL = WS_SQL  # back-compat alias
 
 
 def _ws_trim_sql(expr: str) -> str:
-    return f"trim({expr}, {_WS_SQL})"
+    return f"trim({expr}, {WS_SQL})"
 
 
 def _jsonish_sql(col: str) -> str:

@@ -56,6 +56,9 @@ def get_spark(
         # allocating parse buffers GC-thrash an 8g heap; box has 128 GiB)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the bench contract is ONE machine-readable JSON
+        # line on stdout (progress bars go to stderr, but belt-and-braces)
+        .config("spark.ui.showConsoleProgress", "false")
         # 16m locally: test/bench files are tens of MB and must still split into
         # enough tasks to exercise all cores; on a real cluster reading 100 TB
         # you would leave this at the 128m default (fewer, fuller tasks).
