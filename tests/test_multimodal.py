@@ -97,3 +97,32 @@ def test_audio_image_pipeline_distributed(spark):
     for r in im:
         w, h, (cr, cg, cb) = _ppm_params(r["media_id"])
         assert (r["width"], r["height"], r["mean_r"]) == (w, h, float(cr))
+
+
+def test_batch_synthesis_matches_per_row():
+    # the vectorized Arrow-batch twins must be byte-identical to the
+    # wave-module / per-row reference builders for every parameter class
+    import numpy as np
+
+    from timberjack_spark.operators.multimodal import ppm_bytes_batch, wav_bytes_batch
+
+    ids = np.arange(0, 400, 7)  # covers all (n, k, amp) and (w, h, rgb) classes
+    wavs = wav_bytes_batch(ids)
+    ppms = ppm_bytes_batch(ids)
+    for i, mid in enumerate(ids):
+        assert wavs[i] == wav_bytes(int(mid)), mid
+        assert ppms[i] == ppm_bytes(int(mid)), mid
+
+
+def test_batch_audio_decode_matches_per_row():
+    import numpy as np
+
+    from timberjack_spark.operators.multimodal import decode_audio_batch, wav_bytes_batch
+
+    ids = np.arange(0, 40)
+    payloads = wav_bytes_batch(ids)
+    got = decode_audio_batch(payloads)
+    for i, mid in enumerate(ids):
+        want = decode_audio(payloads[i])
+        for k, v in want.items():
+            assert got[k][i] == pytest.approx(v), (mid, k)

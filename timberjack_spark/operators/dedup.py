@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -147,6 +147,26 @@ def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 42):
     return sig
 
 
+def _bucket_pairs(grouped: DataFrame, members_col: str = "ids") -> DataFrame:
+    """Explode a sorted bucket-member array into its (a, b) pairs, a < b.
+
+    posexplode gives each member with its position; a second explode over the
+    slice AFTER that position emits exactly the ordered pairs — pure JVM, no
+    self-join. Replacing the round-2 banded SELF-JOIN with this single-scan
+    groupBy+explode halves the candidate-generation shuffle (one stream of
+    (band, bucket, id) rows instead of two) and, because the signature table
+    is now referenced ONCE, removes the eager signature checkpoint the
+    self-join forced (Spark re-executes Arrow-UDF subtrees per plan branch)."""
+    return grouped.select(
+        F.posexplode(members_col).alias("_i", "_a"), members_col
+    ).select(
+        "_a",
+        F.explode(
+            F.slice(members_col, F.col("_i") + 2, F.size(members_col) - F.col("_i") - 1)
+        ).alias("_b"),
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -155,26 +175,25 @@ def minhash_near_dups(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH with exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    Pipeline: signature (explode + partial-agg min, all codegen) -> explode
-    bands (k/bands rows per doc) -> groupBy bucket (shuffle on band hash) ->
-    intra-bucket pairs -> distinct candidates -> verify with exact shingle
-    Jaccard. With b=16, r=4 the LSH S-curve crosses ~0.5 at s≈(1/b)^(1/r)≈0.5 —
-    recall at 0.7 is ~0.99; for thresholds near 0.5 use bands=32 (r=2, recall
-    at 0.5 ≈ 1-(1-0.25)^32 ≈ 0.9999).
+    Pipeline: signature (Arrow-batched UDF) -> explode bands (k/bands rows per
+    doc) -> groupBy (band, bucket) collecting member ids (ONE shuffle on the
+    band hash) -> in-bucket pair explode -> distinct candidates -> verify with
+    exact shingle Jaccard. With b=16, r=4 the LSH S-curve crosses ~0.5 at
+    s≈(1/b)^(1/r)≈0.5 — recall at 0.7 is ~0.99; for thresholds near 0.5 use
+    bands=32 (r=2, recall at 0.5 ≈ 1-(1-0.25)^32 ≈ 0.9999).
+
+    ``max_bucket_size`` drops buckets larger than the cap before the pair
+    explode — the standard LSH guard against quadratic blowup on degenerate
+    corpora (a bucket of m near-identical docs emits m(m-1)/2 pairs and one
+    task holds the m-member array). None = guaranteed recall.
     """
     r = k // bands
-    # candidate generation: Arrow-batched minhash signatures, MATERIALIZED
-    # once (localCheckpoint). The signature table is referenced by both sides
-    # of the band self-join and Spark re-executes UDF subtrees per broadcast
-    # branch (no exchange reuse across Python stages — measured 4 single-task
-    # ~3.5 s broadcast builds per query without this). Signatures are one
-    # (id, k longs) row per doc — tiny next to the corpus at any scale; in a
-    # production pipeline this is the "write the signature table" step.
-    sig = minhash_signatures(df, text_col, id_col, n=n, k=k).localCheckpoint(eager=True)
+    sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
     banded = sig.select(
         "_id",
         F.explode(
@@ -189,11 +208,16 @@ def minhash_near_dups(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    a, b_ = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     candidates = (
-        a.join(b_, ["band", "bucket"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        _bucket_pairs(buckets, "ids")
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .distinct()
     )
     return exact_jaccard_verify(df, candidates, text_col, id_col, n, threshold)
@@ -380,15 +404,16 @@ def simhash_near_dups(
     1.6M raw pairs on 5k clustered docs) to just the near-dups.
 
     ``max_bucket_size`` drops blocking buckets larger than the cap before the
-    self-join — the standard LSH guard against quadratic blowup on skewed
+    pair explode — the standard LSH guard against quadratic blowup on skewed
     corpora (template-generated docs collapse into a few hot buckets). Capped
     buckets cost recall for pairs ONLY co-occurring in hot buckets; leave None
     for guaranteed recall.
     """
-    # materialized once: both self-join sides and every broadcast branch read
-    # the checkpointed (id, sig) blocks instead of re-running the Arrow UDF
-    # subtree (Spark cannot exchange-reuse across Python eval stages)
-    sig = simhash_signatures(df, text_col, id_col, n=n).localCheckpoint(eager=True)
+    # single-scan candidate generation (see _bucket_pairs): the signature UDF
+    # is referenced once, so no eager checkpoint is needed, the bucket
+    # grouping is ONE shuffle instead of a two-sided self-join, and the
+    # bucket-size cap is a free size() filter instead of a window count
+    sig = simhash_signatures(df, text_col, id_col, n=n)
     blocks = _hamming_blocks(max_hamming)
     parts = []
     for q, (off, w) in enumerate(blocks):
@@ -399,22 +424,23 @@ def simhash_near_dups(
     quads = sig.select("_id", "_sig", F.explode(F.array(*parts)).alias("qq")).select(
         "_id", "_sig", "qq.q", "qq.key"
     )
+    buckets = (
+        quads.groupBy("q", "key")
+        # sort by struct (id first) so pair order gives id_a < id_b directly
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_sig"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
     if max_bucket_size is not None:
-        w = Window.partitionBy("q", "key")
-        quads = (
-            quads.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
-    a, b = quads.alias("a"), quads.alias("b")
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
     pairs = (
-        a.join(b, ["q", "key"])
-        .filter(F.col("a._id") < F.col("b._id"))
+        _bucket_pairs(buckets, "ms")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
+            F.col("_a._id").alias("id_a"),
+            F.col("_b._id").alias("id_b"),
+            F.bit_count(F.col("_a._sig").bitwiseXOR(F.col("_b._sig"))).alias("hamming"),
         )
+        # hamming BEFORE the distinct: per-row arithmetic shrinks the distinct
+        # shuffle from every bucket collision to just the near-dups
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -112,6 +112,47 @@ def wav_bytes(media_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _wav_header(n_samples: int) -> bytes:
+    """The canonical 44-byte RIFF/PCM16-mono header the stdlib wave module
+    writes — pytest pins wav_bytes_batch == wav_bytes per id, so a header
+    drift would fail loudly."""
+    import struct
+
+    data = n_samples * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_SR, AUDIO_SR * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data)
+    )
+
+
+def wav_bytes_batch(media_ids: "np.ndarray") -> list[bytes]:
+    """Vectorized twin of :func:`wav_bytes` for a whole Arrow batch.
+
+    The tone matrices are synthesized with ONE numpy broadcast per distinct
+    sample-count class (there are only 4 — n is id%4-derived), so the per-row
+    Python work collapses to a header concat + tobytes slice. Round-2
+    synthesized per row ([wav_bytes(m) for m in batch]) — the wave-module +
+    BytesIO overhead per row was 2 of the 3 slowest bench queries."""
+    ids = np.asarray(media_ids, dtype=np.int64)
+    out: list[bytes | None] = [None] * len(ids)
+    n_arr = 2000 + (ids % 4) * 2000
+    k_arr = 50 + (ids % 100)
+    amp_arr = 0.1 + (ids % 9) * 0.1
+    for n in np.unique(n_arr):
+        sel = np.where(n_arr == n)[0]
+        i = np.arange(n)
+        phase = (2 * np.pi / n) * np.outer(k_arr[sel], i)
+        smp = np.round(amp_arr[sel][:, None] * 32767.0 * np.sin(phase)).astype("<i2")
+        hdr = _wav_header(int(n))
+        for j, row in zip(sel, smp):
+            out[j] = hdr + row.tobytes()
+    return out  # type: ignore[return-value]
+
+
 def decode_audio(payload: bytes) -> dict:
     """Parse a WAV container (stdlib) and measure it (numpy)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
@@ -150,11 +191,53 @@ def synthesize_audio_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": [wav_bytes(int(m)) for m in pdf["media_id"]],
+                    "payload": wav_bytes_batch(pdf["media_id"].to_numpy()),
                 }
             )
 
     return base.mapInPandas(gen, "media_id long, payload binary")
+
+
+def decode_audio_batch(payloads) -> pd.DataFrame:
+    """Batched REAL decode: each WAV container is parsed individually (the
+    container walk is inherently per-payload and cheap), but the DSP — rfft,
+    rms, peak, zero-crossing — runs as ONE numpy call per distinct sample
+    count, not per row (an rfft per 5k-row batch beat 5k tiny rffts ~6x)."""
+    srs = np.empty(len(payloads), dtype=np.int64)
+    ns = np.empty(len(payloads), dtype=np.int64)
+    xs: list[np.ndarray] = []
+    for idx, p in enumerate(payloads):
+        with wave.open(io.BytesIO(p), "rb") as w:
+            sr, n, ch, width = w.getframerate(), w.getnframes(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(n)
+        if ch != 1 or width != 2:
+            raise ValueError(f"expected mono PCM16, got channels={ch} sampwidth={width}")
+        srs[idx], ns[idx] = sr, n
+        xs.append(np.frombuffer(raw, dtype=np.int16))
+    rms = np.empty(len(payloads))
+    peak = np.empty(len(payloads))
+    zcr = np.empty(len(payloads))
+    dom = np.empty(len(payloads))
+    for n in np.unique(ns):
+        sel = np.where(ns == n)[0]
+        X = np.stack([xs[j] for j in sel]).astype(np.float64) / 32767.0
+        spec = np.abs(np.fft.rfft(X, axis=1))
+        kbin = spec[:, 1:].argmax(axis=1) + 1  # skip DC
+        rms[sel] = np.sqrt((X**2).mean(axis=1))
+        peak[sel] = np.abs(X).max(axis=1)
+        zcr[sel] = (np.diff(np.signbit(X), axis=1) != 0).mean(axis=1)
+        dom[sel] = kbin * srs[sel] / n
+    return pd.DataFrame(
+        {
+            "sr": srs,
+            "n_samples": ns,
+            "duration_ms": ns * 1000 // srs,
+            "rms": rms,
+            "peak": peak,
+            "zcr": zcr,
+            "dom_freq_hz": dom,
+        }
+    )
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
@@ -162,8 +245,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = [decode_audio(p) for p in pdf["payload"]]
-            out = pd.DataFrame(rows)
+            out = decode_audio_batch(list(pdf["payload"]))
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
@@ -190,6 +272,20 @@ def ppm_bytes(media_id: int) -> bytes:
     px = np.empty((h, w, 3), dtype=np.uint8)
     px[..., 0], px[..., 1], px[..., 2] = r, g, b
     return header + px.tobytes()
+
+
+def ppm_bytes_batch(media_ids: "np.ndarray") -> list[bytes]:
+    """Vectorized twin of :func:`ppm_bytes`: params come from one numpy pass;
+    the solid-color pixel block is ``bytes(rgb) * (w*h)`` — a single C-level
+    repeat, no per-row numpy allocation (pytest pins == ppm_bytes per id)."""
+    ids = np.asarray(media_ids, dtype=np.int64)
+    ws = 16 + ids % 16
+    hs = 16 + ids % 9
+    rs, gs, bs = ids * 37 % 256, ids * 59 % 256, ids * 83 % 256
+    return [
+        (b"P6\n%d %d\n255\n" % (w, h)) + bytes((r, g, b)) * (w * h)
+        for w, h, r, g, b in zip(ws, hs, rs, gs, bs)
+    ]
 
 
 def decode_image(payload: bytes) -> dict:
@@ -233,7 +329,7 @@ def synthesize_image_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": [ppm_bytes(int(m)) for m in pdf["media_id"]],
+                    "payload": ppm_bytes_batch(pdf["media_id"].to_numpy()),
                 }
             )
 
