@@ -475,6 +475,29 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_probe=3)
 
 
+def _q_cosine_pairs(spark, sf_dir):
+    """Embedding cosine near-dup pairs (the one dedup/ANN operator round 2
+    left without driver adjudication). The fixture embeddings have no real
+    near-dups (max pairwise cosine 0.51), so the corpus is augmented with a
+    deterministic perturbed twin per vector (+0.02 per component, double
+    math in both engines): 500 true pairs with cosine >= 0.987117, worst
+    false pair 0.537 — threshold 0.95 separates with margin. LSH at 16
+    tables x 10 bits: worst-pair bit-agreement 0.949 => per-pair miss
+    probability ~6e-7 (recall pinned by tests/test_oracle_recall.py)."""
+    from timberjack_spark.operators.similarity import cosine_near_dup_pairs
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    return cosine_near_dup_pairs(aug, threshold=0.95, n_tables=16, bits_per_table=10)
+
+
 def _q_bpe_tokens(spark, sf_dir):
     from timberjack_spark.functions.text import bpe_ish_token_count
 
@@ -599,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_label_centroids": _q_label_centroids,
         "e_centroid_assign": _q_centroid_assign,
         "e_ivf_topk": _q_ivf_topk,                # oracle: IVF semantics in SQL
+        "e_cosine_pairs": _q_cosine_pairs,        # oracle: exact all-pairs cosine (recall pinned)
         "d_bpe_tokens": _q_bpe_tokens,
         "s_stream_level_counts": _q_stream_level_counts,
         "s_stream_conv_sessions": _q_stream_conv_sessions,
@@ -921,6 +945,18 @@ def oracle_sql() -> dict[str, str]:
         "d_jaccard_pairs": _jaccard_pairs_sql(),
         "d_minhash_pairs": _allpairs_jaccard_sql(0.5),
         "d_simhash_pairs": _allpairs_jaccard_sql(0.5),
+        "e_cosine_pairs": """WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 10000000, list_transform(v, x -> x + 0.02) FROM base)
+            SELECT id_a, id_b, cos FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+            WHERE cos >= 0.95""",
         "e_brute_topk": _BRUTE_TOPK_SQL,
         "e_lsh_topk": _BRUTE_TOPK_SQL,
         "e_ivf_topk": _ivf_topk_sql(k=3, n_probe=3),

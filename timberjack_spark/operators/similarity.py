@@ -284,23 +284,41 @@ def cosine_near_dup_pairs(
     bits_per_table: int = 10,
     seed: int = 42,
 ) -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine >= threshold, LSH-blocked."""
+    """(id_a, id_b, cos) pairs with cosine >= threshold, LSH-blocked.
+
+    Candidate generation is the single-scan bucket groupBy + in-bucket pair
+    explode (same shape as the minhash/simhash generators — see
+    dedup._bucket_pairs): the round-2 self-join scored a cosine per BUCKET
+    COLLISION and dragged two vector copies through the join; now the distinct
+    candidate id pairs (16 bytes each) are computed first and vectors are
+    joined back only for survivors, scored exactly once per pair."""
+    from .dedup import _bucket_pairs
+
     planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
     sig_udf = make_signature_udf(planes, n_tables, bits_per_table)
     sig = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.explode(sig_udf(F.col(vec_col))).alias("bucket"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
-        )
+    buckets = (
+        sig.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        _bucket_pairs(buckets, "ids")
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
