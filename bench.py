@@ -96,7 +96,14 @@ def timed_flagship(
         cores=cores,
         shuffle_partitions=2 * cores,
         app_name=f"bench{cores}",
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            # 32m splits for the timed sessions: ~100 tasks over the 128-file
+            # corpus — enough waves to pack stragglers at every core level,
+            # but ~10% less per-task cpu overhead than the 16m test default
+            # (tools/tune_fullbox.py: 434 -> 382 cpu-s at 32 cores)
+            "spark.sql.files.maxPartitionBytes": "32m",
+        },
     )
     if warm:
         flagship(spark, src_path)  # JVM JIT, parquet footers, codegen

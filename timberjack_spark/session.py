@@ -39,8 +39,16 @@ def get_spark(
     java_opts = (
         f"-XX:ParallelGCThreads={gc_threads} "
         f"-XX:ConcGCThreads={max(gc_threads // 4, 1)} "
-        f"-XX:CICompilerCount=4"
-    )
+        f"-XX:CICompilerCount=4 "
+        # 32m G1 regions: the parse stage allocates many multi-MB humongous
+        # buffers; bigger regions cut full-box (32-thread) flagship cpu-work
+        # ~10% on this box (tools/tune_fullbox.py: 434 -> 386 cpu-s, same
+        # noise window; UseParallelGC measured far WORSE, 567)
+        f"-XX:G1HeapRegionSize=32m "
+        # experiment hook (tools/tune_fullbox.py): extra JVM flags appended at
+        # gateway launch — a no-op for every later getOrCreate in the process
+        + os.environ.get("SPARK_GRAFT_EXTRA_JAVA", "")
+    ).strip()
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .config("spark.driver.extraJavaOptions", java_opts)

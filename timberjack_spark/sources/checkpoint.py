@@ -50,11 +50,16 @@ def _mark_complete(base_path: str, bucket: int, counts: dict[str, int], elapsed:
     ledger = os.path.join(base_path, LEDGER_DIR)
     os.makedirs(ledger, exist_ok=True)
     tmp = os.path.join(ledger, f".bucket-{bucket}.json.tmp")
+    rows = sum(counts.values())
     rec = {
         "bucket": bucket,
         "counts": counts,
-        "rows": sum(counts.values()),
+        "rows": rows,
         "elapsed_sec": round(elapsed, 3),
+        # per-partition throughput — the ledger doubles as the pipeline's
+        # lineage AND metrics record (north rule): each bucket's commit says
+        # what it held, when it landed, and how fast it moved
+        "rows_per_sec": round(rows / elapsed, 1) if elapsed > 0 else None,
         "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(tmp, "w") as fh:
@@ -152,4 +157,15 @@ def run_resumable_fanout(
     for rec in all_done.values():
         for c, n in rec["counts"].items():
             totals[c] = totals.get(c, 0) + n
-    return {"processed": processed, "skipped": sorted(done), "counts": totals}
+    total_rows = sum(totals.values())
+    elapsed_total = round(sum(r.get("elapsed_sec") or 0 for r in all_done.values()), 3)
+    return {
+        "processed": processed,
+        "skipped": sorted(done),
+        "counts": totals,
+        "metrics": {
+            "total_rows": total_rows,
+            "elapsed_sec": elapsed_total,
+            "rows_per_sec": round(total_rows / elapsed_total, 1) if elapsed_total else None,
+        },
+    }

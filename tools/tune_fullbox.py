@@ -1,0 +1,97 @@
+"""Full-box (32-thread) work-inflation lab — VERDICT r2 item 7.
+
+At 32 concurrent parse threads this box's single-socket DRAM saturates and
+flagship cpu-work inflates ~1.3x vs 8 threads. This lab re-measures the
+inflation under candidate configurations (file-split size, GC choice) to see
+whether any of it is tunable rather than a genuine bandwidth ceiling.
+
+Each variant runs in a FRESH subprocess: driver-JVM options (GC flags) bind
+when the py4j gateway launches, so they cannot be changed inside one Python
+process. cpu-seconds (utime+stime of the JVM) is the interference-immune
+metric; wall is reported for context only.
+
+Usage: python tools/tune_fullbox.py            # run all variants
+       python tools/tune_fullbox.py <variant>  # subprocess entry (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VARIANTS: dict[str, dict] = {
+    "base8": {"cores": 8, "conf": {}, "java": ""},
+    "base32": {"cores": 32, "conf": {}, "java": ""},
+    "mpb64": {"cores": 32, "conf": {"spark.sql.files.maxPartitionBytes": "64m"}, "java": ""},
+    "mpb32": {"cores": 32, "conf": {"spark.sql.files.maxPartitionBytes": "32m"}, "java": ""},
+    "parallelgc": {"cores": 32, "conf": {}, "java": "-XX:+UseParallelGC"},
+    "g1region32": {"cores": 32, "conf": {}, "java": "-XX:G1HeapRegionSize=32m"},
+    "combo": {"cores": 32, "conf": {"spark.sql.files.maxPartitionBytes": "64m"},
+              "java": "-XX:G1HeapRegionSize=32m"},
+    "combo8": {"cores": 8, "conf": {"spark.sql.files.maxPartitionBytes": "64m"},
+               "java": "-XX:G1HeapRegionSize=32m"},
+}
+
+
+def run_variant(name: str) -> None:
+    v = VARIANTS[name]
+    if v["java"]:
+        # session.py composes extraJavaOptions itself; append via env override
+        os.environ["SPARK_GRAFT_EXTRA_JAVA"] = v["java"]
+    from bench import BENCH_TURNS, _jvm_cpu_seconds, flagship
+
+    from timberjack_spark.fixtures import bench_transcripts_dir
+    from timberjack_spark.session import get_spark
+
+    spark = get_spark(
+        cores=v["cores"],
+        shuffle_partitions=2 * v["cores"],
+        app_name=f"tune_{name}",
+        extra_conf={"spark.sql.adaptive.enabled": "false", **v["conf"]},
+    )
+    src = bench_transcripts_dir(spark, BENCH_TURNS, partitions=128)
+    flagship(spark, src)  # warm
+    best_wall, best_cpu = float("inf"), 0.0
+    for _ in range(2):
+        c0 = _jvm_cpu_seconds()
+        t0 = time.perf_counter()
+        flagship(spark, src)
+        wall = time.perf_counter() - t0
+        if wall < best_wall:
+            best_wall, best_cpu = wall, _jvm_cpu_seconds() - c0
+    print(json.dumps({"variant": name, "cores": v["cores"],
+                      "wall": round(best_wall, 2), "cpu": round(best_cpu, 1)}))
+
+
+def main() -> None:
+    results = {}
+    for name in VARIANTS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            print(name, "FAILED", out.stderr[-500:])
+            continue
+        rec = json.loads(line[-1])
+        results[name] = rec
+        print(rec)
+    if "base8" in results:
+        c8 = results["base8"]["cpu"]
+        for name, rec in results.items():
+            if rec["cores"] == 32:
+                print(f"{name}: work_inflation={rec['cpu'] / c8:.3f} wall={rec['wall']}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        run_variant(sys.argv[1])
+    else:
+        main()
