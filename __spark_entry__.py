@@ -308,6 +308,21 @@ def _q_mktsegment_pivot(spark, sf_dir):
     )
 
 
+def _q_events_quantiles(spark, sf_dir):
+    """Exact distribution summary per event type (percentile with linear
+    interpolation — same estimator as DuckDB quantile_cont, so the oracle is
+    exact). At 100 TB you would swap percentile_approx (t-digest sketch,
+    mergeable partial aggregation) — same plan shape, bounded memory."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 def _q_events_asof_click(spark, sf_dir):
     """As-of join (custom temporal operator — union + running-last, one
     shuffle): for each error event, the latest click of the same user at or
@@ -602,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_rollup": _q_orders_rollup,
         "q_lineitem_running": _q_lineitem_running,
         "q_mktsegment_pivot": _q_mktsegment_pivot,
+        "q_events_quantiles": _q_events_quantiles,
         "q_events_asof_click": _q_events_asof_click,
         "q_events_range_ctx": _q_events_range_ctx,
         "d_doc_dedup_stats": _q_doc_dedup_stats,
@@ -902,6 +918,13 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
+        "q_events_quantiles": """SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.50), 6) AS p50,
+              round(quantile_cont(value, 0.75), 6) AS p75,
+              round(quantile_cont(value, 0.95), 6) AS p95,
+              count(*) AS cnt
+            FROM events GROUP BY event_type""",
         "q_events_asof_click": """WITH err AS (
               SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
             clk AS (
