@@ -408,6 +408,64 @@ def _q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_redacted_lines(spark, sf_dir):
+    """PII scrubbing (training-data curation): redact email/IP/user-id tokens
+    and group the redacted templates — redaction collapses near-unique raw
+    lines into countable templates. Pure JVM regexp_replace chain."""
+    from timberjack_spark.functions.text import redact_pii, redaction_count
+
+    t = _transcripts(spark, sf_dir)
+    r = t.select(
+        redact_pii(F.col("text")).alias("line"),
+        redaction_count(F.col("text")).alias("n_red"),
+    )
+    return (
+        r.filter(F.col("n_red") > 0)
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_red").alias("n_redactions"))
+    )
+
+
+def _q_doc_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition signals per document: duplicate-token
+    fraction and top-token dominance. Two-level hash aggregation — both
+    levels partial-aggregate map-side, keys are (doc, token) then doc, so
+    the shuffle never skews at corpus scale."""
+    d = _tbl(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    return a.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.lit(1) - F.col("n_distinct") / F.col("n_tokens"), 6).alias("dup_frac"),
+        F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias("top_frac"),
+    )
+
+
+def _q_top_terms(spark, sf_dir):
+    """Corpus vocabulary head: global token counts, top 50 with deterministic
+    rank. The global window runs over the AGGREGATED vocabulary histogram
+    (thousands of rows), not the corpus — at 100 TB this is the standard
+    build-the-tokenizer-vocab job (explode + partial-agg count + small sort)."""
+    d = _tbl(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return cnt.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 50)
+
+
 def _q_exact_dedup(spark, sf_dir):
     from timberjack_spark.operators.dedup import exact_dedup
 
@@ -588,6 +646,19 @@ def _q_stream_conv_sessions(spark, sf_dir):
     )
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicates drain): each distinct parsed
+    message template emitted exactly once; oracle is batch SELECT DISTINCT —
+    the stream==batch contract for the dedup stage."""
+    from timberjack_spark.fixtures import transcripts_stream_dir
+    from timberjack_spark.streaming.pipeline import run_stream_dedup_once
+
+    _STREAM_SEQ[0] += 1
+    return run_stream_dedup_once(
+        spark, transcripts_stream_dir(sf_dir), query_name=f"q_stream_dd_{_STREAM_SEQ[0]}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t_total_count_error": _q_total_count_error,
@@ -626,6 +697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_salted_conv_counts": _q_salted_conv_counts,
         "d_text_stats": _q_text_stats,
         "d_doc_fingerprint": _q_doc_fingerprint,
+        "t_redacted_lines": _q_redacted_lines,
+        "d_doc_repetition": _q_doc_repetition,
+        "d_top_terms": _q_top_terms,
         "d_exact_dedup": _q_exact_dedup,
         "d_jaccard_pairs": _q_jaccard_pairs,
         "d_minhash_pairs": _q_minhash_pairs,      # oracle: exact all-pairs (recall pinned)
@@ -642,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bpe_tokens": _q_bpe_tokens,
         "s_stream_level_counts": _q_stream_level_counts,
         "s_stream_conv_sessions": _q_stream_conv_sessions,
+        "s_stream_dedup_msgs": _q_stream_dedup,
     }
 
 
@@ -786,6 +861,24 @@ def _jaccard_pairs_sql(threshold: float = 0.12) -> str:
                    len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
       FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
     WHERE jaccard >= {threshold}"""
+
+
+def _redacted_lines_sql(tp: str) -> str:
+    """DuckDB twin of functions/text.py::redact_pii / redaction_count —
+    composed from the SAME pattern list so the two cannot drift."""
+    from timberjack_spark.functions.text import REDACTION_PATTERNS
+
+    red = "text"
+    for pat, repl in REDACTION_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    cnt = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in REDACTION_PATTERNS
+    )
+    return f"""WITH red AS (
+          SELECT {red} AS line, {cnt} AS n_red
+          FROM read_parquet('{tp}'))
+        SELECT line, count(*) AS cnt, sum(n_red)::BIGINT AS n_redactions
+        FROM red WHERE n_red > 0 GROUP BY line"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -964,6 +1057,27 @@ def oracle_sql() -> dict[str, str]:
                         (a, b) -> (a * 31 + b) % 1000000007)
             END AS fp
             FROM documents""",
+        "t_redacted_lines": _redacted_lines_sql(tp),
+        "d_doc_repetition": r"""WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+              FROM documents),
+            c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+            a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+                         max(c) AS top_cnt
+                  FROM c GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_distinct,
+                   round(1 - n_distinct / n_tokens, 6) AS dup_frac,
+                   round(top_cnt / n_tokens, 6) AS top_frac
+            FROM a""",
+        "d_top_terms": r"""WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents),
+            c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+            SELECT term, cnt, rank FROM (
+              SELECT term, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+              FROM c)
+            WHERE rank <= 50""",
         "d_exact_dedup": """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
         "d_jaccard_pairs": _jaccard_pairs_sql(),
         "d_minhash_pairs": _allpairs_jaccard_sql(0.5),
@@ -1007,6 +1121,8 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_level_counts": f"""{osql.parsed_cte(f"SELECT * FROM read_parquet('{sp}')")}
             SELECT date_trunc('hour', ts) AS win_start, level, count(*) AS cnt
             FROM parsed GROUP BY 1, 2""",
+        "s_stream_dedup_msgs": f"""{osql.parsed_cte(f"SELECT * FROM read_parquet('{sp}')")}
+            SELECT DISTINCT msg_key FROM parsed""",
         "s_stream_conv_sessions": f"""{osql.parsed_cte(f"SELECT * FROM read_parquet('{sp}')")}
             SELECT conv_id, count(*) AS n_turns,
                    sum(CASE WHEN {osql.category_sql()} = 'errors' THEN 1 ELSE 0 END)::BIGINT AS n_errors,

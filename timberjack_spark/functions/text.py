@@ -111,3 +111,35 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — a standard training-data scrubbing stage. Patterns are in
+# the portable regex subset (Java regex == DuckDB RE2 semantics) so the
+# oracle applies the identical strings with the 'g' flag.
+# ---------------------------------------------------------------------------
+
+REDACTION_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\buser_[0-9]+\b", "<USER>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII-shaped token with a typed placeholder. Pure JVM
+    ``regexp_replace`` chain (replace-all), applied in REDACTION_PATTERNS
+    order — email before ip before user-id, fixed so the oracle composes the
+    same way."""
+    out = text
+    for pat, repl in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redaction_count(text: Column) -> Column:
+    """How many PII tokens a row carries (pre-redaction)."""
+    cnt = F.lit(0)
+    for pat, _ in REDACTION_PATTERNS:
+        cnt = cnt + F.regexp_count(text, F.lit(pat))
+    return cnt

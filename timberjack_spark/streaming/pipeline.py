@@ -188,3 +188,39 @@ def run_session_stats_once(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup — the training-pipeline "drop repeats as they arrive"
+# stage. dropDuplicates keeps the FIRST arrival per key and holds one state
+# row per distinct key; in a continuous deployment you would bound the state
+# with dropDuplicatesWithinWatermark, for a bounded drain the exact variant
+# is the contract (stream output == batch DISTINCT, which is the oracle).
+# ---------------------------------------------------------------------------
+
+
+def run_stream_dedup_once(
+    spark: SparkSession,
+    src_dir: str,
+    query_name: str = "stream_dedup",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain the source, emitting each distinct parsed message template
+    (msg_key) exactly once. Dedup on the template, not the raw line: raw log
+    lines are near-unique (timestamps), templates are the dedup unit."""
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_dedup_ckpt_")
+    deduped = (
+        routed_stream(stream_source(spark, src_dir))
+        .select("msg_key")
+        .dropDuplicates(["msg_key"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
