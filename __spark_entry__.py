@@ -370,7 +370,7 @@ def _q_doc_dedup_stats(spark, sf_dir):
 
 def _q_doc_token_stats(spark, sf_dir):
     d = _tbl(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), osql.WS_CLASS_RE + "+")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -433,7 +433,7 @@ def _q_doc_repetition(spark, sf_dir):
     the shuffle never skews at corpus scale."""
     d = _tbl(spark, sf_dir, "documents")
     c = (
-        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tk"))
+        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), osql.WS_CLASS_RE + "+")).alias("tk"))
         .groupBy("doc_id", "tk")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -458,7 +458,7 @@ def _q_top_terms(spark, sf_dir):
     build-the-tokenizer-vocab job (explode + partial-agg count + small sort)."""
     d = _tbl(spark, sf_dir, "documents")
     cnt = (
-        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        d.select(F.explode(F.split(F.trim(F.col("text")), osql.WS_CLASS_RE + "+")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -738,7 +738,7 @@ def _text_stats_sql() -> str:
     return rf"""WITH s1 AS (
       SELECT doc_id, text,
         CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
         length(text) AS n_chars,
         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
         len(regexp_extract_all(lower(text), '\b({en})\b')) AS sc_en,
@@ -767,7 +767,7 @@ def _allpairs_jaccard_sql(threshold: float = 0.5) -> str:
     their exact-verified outputs equal this set when candidate recall is 1,
     which is pinned empirically at sf0.01 (deterministic data + hashes)."""
     return rf"""WITH toks AS (
-      SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS tk
       FROM documents),
     base AS (
       SELECT doc_id,
@@ -846,7 +846,7 @@ def _ivf_topk_sql(k: int = 3, n_probe: int = 3) -> str:
 def _jaccard_pairs_sql(threshold: float = 0.12) -> str:
     """DuckDB twin of operators/dedup.py::ngram_jaccard_pairs (block = lang, n=3)."""
     return rf"""WITH toks AS (
-      SELECT lang, doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      SELECT lang, doc_id, text, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS tk
       FROM documents),
     base AS (
       SELECT lang, doc_id,
@@ -1041,7 +1041,7 @@ def oracle_sql() -> dict[str, str]:
             count(*) - count(DISTINCT md5(text)) AS n_dup_docs
             FROM documents""",
         "d_doc_token_stats": r"""SELECT doc_id,
-            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+            len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens,
             length(text) AS n_chars_actual,
             len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS n_stopwords
             FROM documents""",
@@ -1059,7 +1059,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "t_redacted_lines": _redacted_lines_sql(tp),
         "d_doc_repetition": r"""WITH tok AS (
-              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS tk
               FROM documents),
             c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
             a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
@@ -1070,7 +1070,7 @@ def oracle_sql() -> dict[str, str]:
                    round(top_cnt / n_tokens, 6) AS top_frac
             FROM a""",
         "d_top_terms": r"""WITH tok AS (
-              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS term
               FROM documents),
             c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
             SELECT term, cnt, rank FROM (

@@ -21,9 +21,9 @@ LEVEL_RE = re.compile(
     r"|(?i:ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE):)",
     re.ASCII,
 )
-TS_RE = re.compile(r"(\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})", re.ASCII)
+TS_RE = re.compile(r"(\d{4}-\d{2}-\d{2}[ \t\n\x0b\f\r]+\d{2}:\d{2}:\d{2})", re.ASCII)
 ERR_RE = re.compile(
-    r"([A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+\s+timeout"
+    r"([A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+[ \t\n\x0b\f\r]+timeout"
     r"|Connection timeout|500 Internal Server Error|401 Unauthorized"
     r"|503 Service Unavailable)",
     re.ASCII,

@@ -89,3 +89,22 @@ def test_empty_input_ratio_zero(spark):
     doc = collect_report(analyze(df, q), q)
     assert doc["total_count"] == 0
     assert doc["stats"]["repetition_ratio"] == 0.0
+
+
+def test_quantiles_approx_matches_exact_within_tolerance(spark):
+    # q_events_quantiles uses exact percentile (oracle-exact); at 100 TB the
+    # same plan swaps to percentile_approx (mergeable t-digest). Pin that the
+    # swap is semantically safe on this distribution: approx within 1% of
+    # exact at accuracy 10000
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("m")
+    )
+    e = {r["event_type"]: r["m"] for r in exact.collect()}
+    a = {r["event_type"]: r["m"] for r in approx.collect()}
+    for k in e:
+        scale = max(abs(e[k]), 1e-9)
+        assert abs(e[k] - a[k]) / scale < 0.01, (k, e[k], a[k])

@@ -144,3 +144,32 @@ def test_minhash_on_real_documents(spark):
     rows = pairs.collect()
     for r in rows:
         assert r["id_a"] < r["id_b"] and r["jaccard"] >= 0.8
+
+
+@pytest.mark.slow
+def test_bucket_pairs_matches_combinations(spark):
+    # property: for ANY bucket membership, the posexplode+slice pair explode
+    # emits exactly combinations(sorted(ids), 2) — no dupes, no misses, a < b
+    # (this is the core of the round-3 single-scan LSH candidate generator)
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from timberjack_spark.operators.dedup import _bucket_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for b in range(40):
+        size = rng.choice([0, 1, 2, 3, 5, 9])
+        ids = rng.sample(range(1000), size)
+        rows.append((b, sorted(ids)))
+    df = spark.createDataFrame(rows, "bucket long, ids array<long>")
+    got = {
+        (r["_a"], r["_b"])
+        for r in _bucket_pairs(df.filter(F.size("ids") >= 2), "ids").collect()
+    }
+    want = {
+        pair for _, ids in rows for pair in itertools.combinations(sorted(ids), 2)
+    }
+    assert got == want

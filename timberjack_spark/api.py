@@ -60,11 +60,24 @@ class Timber:
         if not is_text:
             # a DIRECTORY of text logs must not silently take the parquet
             # path (it would fail with an opaque footer error, or worse,
-            # half-read mixed content): sniff the member suffixes
+            # half-read mixed content): sniff the member FILE suffixes, one
+            # partition level deep (logs/2024-01-01/a.log layouts). Local
+            # filesystem only — remote URIs (isdir False) keep the explicit
+            # suffix/format contract.
             import os as _os
 
             if _os.path.isdir(path):
-                members = [m for m in _os.listdir(path) if not m.startswith(("_", "."))]
+                def _files(d, depth=0):
+                    for m in sorted(_os.listdir(d)):
+                        if m.startswith(("_", ".")):
+                            continue
+                        p = _os.path.join(d, m)
+                        if _os.path.isfile(p):
+                            yield m
+                        elif depth == 0 and _os.path.isdir(p):
+                            yield from _files(p, 1)
+
+                members = list(_files(path))
                 has_text = any(m.endswith(text_suffixes) for m in members)
                 has_parquet = any(m.endswith(".parquet") for m in members)
                 if has_text and has_parquet:

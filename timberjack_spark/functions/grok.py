@@ -33,6 +33,7 @@ from .patterns import (
     JSON_TIMESTAMP_KEYS,
     LEVEL_RE,
     TIMESTAMP_RE,
+    WS_CLASS,
 )
 
 import pyarrow as pa
@@ -54,9 +55,9 @@ _LEVEL_RE2 = (
     r"(?P<m0>\[(?i:(?P<m1>ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE))\]"
     r"|(?i:ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE):)"
 )
-_TS_RE2 = r"(?P<ts>\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})"
+_TS_RE2 = r"(?P<ts>\d{4}-\d{2}-\d{2}" + WS_CLASS + r"+\d{2}:\d{2}:\d{2})"
 _ERR_RE2 = (
-    r"(?P<e>[A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+\s+timeout"
+    r"(?P<e>[A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+" + WS_CLASS + r"+timeout"
     r"|Connection timeout|500 Internal Server Error|401 Unauthorized"
     r"|503 Service Unavailable)"
 )

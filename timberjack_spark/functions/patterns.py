@@ -8,6 +8,12 @@ lookaround, no backreferences. That pinning is what makes per-turn text equality
 across the three dialects (SURVEY.md §7.3).
 """
 
+# Whitespace CLASS in the portable subset. A bare ``\s`` is NOT portable:
+# Java regex \s = [ \t\n\x0b\f\r] but RE2 \s = [\t\n\f\r ] (no vertical
+# tab), so the same pattern string silently diverges between Spark and the
+# DuckDB oracle on U+000B. Every tokenizing/pattern use spells the class out.
+WS_CLASS = r"[ \t\n\x0b\f\r]"
+
 # Level extraction. Two alternatives, leftmost match wins:
 #   * bracket form  "[ERROR]"  -> capture group 1 = the level word (later uppercased);
 #   * colon form    "error:"   -> group 1 absent, whole match INCLUDING the colon is the
@@ -22,12 +28,12 @@ LEVEL_RE = (
 # Timestamp extraction: space-separated date-time only (the ISO 'T' form deliberately
 # does NOT match — JSON timestamps come from the JSON fields instead).
 # Reference: src/parser/generic.rs:10-12.
-TIMESTAMP_RE = r"(\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})"
+TIMESTAMP_RE = r"(\d{4}-\d{2}-\d{2}" + WS_CLASS + r"+\d{2}:\d{2}:\d{2})"
 
 # Error-signature extraction: first (leftmost) match over the WHOLE line, applied to all
 # matched lines regardless of level. Reference: src/analyzer.rs:25-28.
 ERROR_TYPE_RE = (
-    r"([A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+\s+timeout"
+    r"([A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+" + WS_CLASS + r"+timeout"
     r"|Connection timeout|500 Internal Server Error|401 Unauthorized"
     r"|503 Service Unavailable)"
 )

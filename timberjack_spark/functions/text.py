@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .patterns import WS_CLASS
+
 # Tiny per-language stopword lists for the n-gram/stopword-voting language ID.
 # Deliberately small: the heuristic is a coverage demo of the voting pattern,
 # not a production langid model.
@@ -32,7 +34,7 @@ BASE = 31
 def token_count(text: Column) -> Column:
     """Whitespace tokenization; empty string -> 0 tokens."""
     t = F.trim(text)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_CLASS + "+")))
 
 
 def bpe_ish_token_count(text: Column) -> Column:

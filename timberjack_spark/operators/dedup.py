@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.patterns import WS_CLASS
+
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input has
@@ -64,7 +66,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), built with higher-order functions
     (sequence + transform + slice) — pure JVM."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    toks = F.split(F.lower(F.trim(text)), WS_CLASS + "+")
     k = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
@@ -175,7 +177,7 @@ def minhash_near_dups(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH with exact-Jaccard verify.
 
@@ -189,8 +191,12 @@ def minhash_near_dups(
 
     ``max_bucket_size`` drops buckets larger than the cap before the pair
     explode — the standard LSH guard against quadratic blowup on degenerate
-    corpora (a bucket of m near-identical docs emits m(m-1)/2 pairs and one
-    task holds the m-member array). None = guaranteed recall.
+    corpora: a bucket of m docs emits m(m-1)/2 pairs IN ONE TASK (true of the
+    round-2 self-join too — an equi-join sends each bucket to one reducer).
+    The default (10k members -> <=50M pairs/task) is far above any honest
+    near-dup cluster in the tuned-band regime; a bucket past it means the
+    banding is mis-tuned for the corpus. Set None for strict recall — dropped
+    buckets cost recall only for pairs co-occurring NOWHERE but a hot bucket.
     """
     r = k // bands
     sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
@@ -389,7 +395,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
     n: int = 1,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) by simhash hamming distance.

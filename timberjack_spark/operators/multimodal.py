@@ -87,15 +87,23 @@ def decode_video(payload: bytes) -> "np.ndarray":
 AUDIO_SR = 8000
 
 
-def _wav_params(media_id: int) -> tuple[int, int, float]:
-    """(n_samples, fft_bin, amplitude) as a pure function of the id — the
-    contract that lets the SQL oracle verify the decoded features closed-form.
-    The tone frequency is bin * SR / n exactly, so the FFT peak lands on one
-    bin with zero leakage."""
-    n = 2000 + (media_id % 4) * 2000          # 250..1000 ms at 8 kHz
-    k = 50 + (media_id % 100)                 # FFT bin of the tone
-    amp = 0.1 + (media_id % 9) * 0.1
+def _wav_params_vec(ids: "np.ndarray") -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """(n_samples, fft_bin, amplitude) arrays as pure functions of the ids —
+    the contract that lets the SQL oracle verify the decoded features
+    closed-form. The tone frequency is bin * SR / n exactly, so the FFT peak
+    lands on one bin with zero leakage. SINGLE SOURCE for both the per-row
+    and the batch synthesis paths (a drift between them would surface as an
+    oracle mismatch only for the drifted parameter class)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = 2000 + (ids % 4) * 2000               # 250..1000 ms at 8 kHz
+    k = 50 + (ids % 100)                      # FFT bin of the tone
+    amp = 0.1 + (ids % 9) * 0.1
     return n, k, amp
+
+
+def _wav_params(media_id: int) -> tuple[int, int, float]:
+    n, k, amp = _wav_params_vec(np.array([media_id]))
+    return int(n[0]), int(k[0]), float(amp[0])
 
 
 def wav_bytes(media_id: int) -> bytes:
@@ -139,9 +147,7 @@ def wav_bytes_batch(media_ids: "np.ndarray") -> list[bytes]:
     BytesIO overhead per row was 2 of the 3 slowest bench queries."""
     ids = np.asarray(media_ids, dtype=np.int64)
     out: list[bytes | None] = [None] * len(ids)
-    n_arr = 2000 + (ids % 4) * 2000
-    k_arr = 50 + (ids % 100)
-    amp_arr = 0.1 + (ids % 9) * 0.1
+    n_arr, k_arr, amp_arr = _wav_params_vec(ids)
     for n in np.unique(n_arr):
         sel = np.where(n_arr == n)[0]
         i = np.arange(n)
@@ -257,11 +263,15 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ppm_params_vec(ids: "np.ndarray"):
+    """(w, h, r, g, b) arrays — single source for per-row and batch paths."""
+    ids = np.asarray(ids, dtype=np.int64)
+    return 16 + ids % 16, 16 + ids % 9, ids * 37 % 256, ids * 59 % 256, ids * 83 % 256
+
+
 def _ppm_params(media_id: int) -> tuple[int, int, tuple[int, int, int]]:
-    w = 16 + (media_id % 16)
-    h = 16 + (media_id % 9)
-    rgb = (media_id * 37 % 256, media_id * 59 % 256, media_id * 83 % 256)
-    return w, h, rgb
+    w, h, r, g, b = _ppm_params_vec(np.array([media_id]))
+    return int(w[0]), int(h[0]), (int(r[0]), int(g[0]), int(b[0]))
 
 
 def ppm_bytes(media_id: int) -> bytes:
@@ -278,10 +288,7 @@ def ppm_bytes_batch(media_ids: "np.ndarray") -> list[bytes]:
     """Vectorized twin of :func:`ppm_bytes`: params come from one numpy pass;
     the solid-color pixel block is ``bytes(rgb) * (w*h)`` — a single C-level
     repeat, no per-row numpy allocation (pytest pins == ppm_bytes per id)."""
-    ids = np.asarray(media_ids, dtype=np.int64)
-    ws = 16 + ids % 16
-    hs = 16 + ids % 9
-    rs, gs, bs = ids * 37 % 256, ids * 59 % 256, ids * 83 % 256
+    ws, hs, rs, gs, bs = _ppm_params_vec(media_ids)
     return [
         (b"P6\n%d %d\n255\n" % (w, h)) + bytes((r, g, b)) * (w * h)
         for w, h, r, g, b in zip(ws, hs, rs, gs, bs)

@@ -283,6 +283,7 @@ def cosine_near_dup_pairs(
     n_tables: int = 8,
     bits_per_table: int = 10,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= threshold, LSH-blocked.
 
@@ -305,6 +306,10 @@ def cosine_near_dup_pairs(
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        # hot-bucket guard (see dedup.minhash_near_dups): a bucket of m
+        # members pair-explodes m(m-1)/2 rows in one task
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     cand = (
         _bucket_pairs(buckets, "ids")
         .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))

@@ -9,8 +9,9 @@ string is used verbatim in both engines.
 
 from __future__ import annotations
 
-from ..functions.patterns import (
+from ..functions.patterns import (  # noqa: F401 — WS_CLASS re-exported for oracle SQL
     ANOMALY_RE,
+    WS_CLASS as WS_CLASS_RE,
     ERROR_TYPE_RE,
     JSON_LEVEL_KEYS,
     JSON_MESSAGE_KEYS,

@@ -15,6 +15,11 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _g1_region_opt() -> str:
+    region = os.environ.get("SPARK_GRAFT_G1_REGION", "32m")
+    return f"-XX:G1HeapRegionSize={region}" if region else ""
+
+
 def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
@@ -43,8 +48,10 @@ def get_spark(
         # 32m G1 regions: the parse stage allocates many multi-MB humongous
         # buffers; bigger regions cut full-box (32-thread) flagship cpu-work
         # ~10% on this box (tools/tune_fullbox.py: 434 -> 386 cpu-s, same
-        # noise window; UseParallelGC measured far WORSE, 567)
-        f"-XX:G1HeapRegionSize=32m "
+        # noise window; UseParallelGC measured far WORSE, 567). Env-overridable
+        # so the tuning lab can still measure the untuned baseline ("" = omit).
+        + _g1_region_opt()
+        + " "
         # experiment hook (tools/tune_fullbox.py): extra JVM flags appended at
         # gateway launch — a no-op for every later getOrCreate in the process
         + os.environ.get("SPARK_GRAFT_EXTRA_JAVA", "")

@@ -36,10 +36,14 @@ def write_bucketed(
     spark = df.sparkSession
     # a table whose catalog entry is gone but whose warehouse directory
     # survives (crashed run) would fail with LOCATION_ALREADY_EXISTS —
-    # clear both so the write is idempotent
+    # clear both so the write is idempotent. The metastore lower-cases names
+    # and maps db-qualified tables to <warehouse>/<db>.db/<table>.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.split(".")[-1])
+    parts = table.lower().split(".")
+    name, db = parts[-1], (parts[-2] if len(parts) > 1 else "default")
+    base = warehouse.removeprefix("file:")
+    loc = os.path.join(base, name) if db == "default" else os.path.join(base, f"{db}.db", name)
     if os.path.isdir(loc):
         shutil.rmtree(loc)
     writer = (

@@ -25,25 +25,31 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Each variant pins the G1 region knob EXPLICITLY via SPARK_GRAFT_G1_REGION
+# ("" = stock JVM choice): session.py now defaults to 32m regions (the r3
+# winner), so baselines must override it back to measure the untuned JVM.
+# (The 434/382/386/567 cpu-s figures in session.py/BASELINE.md were measured
+# before that default landed, with the stock region size in the baselines.)
 VARIANTS: dict[str, dict] = {
-    "base8": {"cores": 8, "conf": {}, "java": ""},
-    "base32": {"cores": 32, "conf": {}, "java": ""},
-    "mpb64": {"cores": 32, "conf": {"spark.sql.files.maxPartitionBytes": "64m"}, "java": ""},
-    "mpb32": {"cores": 32, "conf": {"spark.sql.files.maxPartitionBytes": "32m"}, "java": ""},
-    "parallelgc": {"cores": 32, "conf": {}, "java": "-XX:+UseParallelGC"},
-    "g1region32": {"cores": 32, "conf": {}, "java": "-XX:G1HeapRegionSize=32m"},
+    "base8": {"cores": 8, "conf": {}, "java": "", "g1_region": ""},
+    "base32": {"cores": 32, "conf": {}, "java": "", "g1_region": ""},
+    "mpb64": {"cores": 32, "conf": {"spark.sql.files.maxPartitionBytes": "64m"}, "java": "", "g1_region": ""},
+    "mpb32": {"cores": 32, "conf": {"spark.sql.files.maxPartitionBytes": "32m"}, "java": "", "g1_region": ""},
+    "parallelgc": {"cores": 32, "conf": {}, "java": "-XX:+UseParallelGC", "g1_region": ""},
+    "g1region32": {"cores": 32, "conf": {}, "java": "", "g1_region": "32m"},
     "combo": {"cores": 32, "conf": {"spark.sql.files.maxPartitionBytes": "64m"},
-              "java": "-XX:G1HeapRegionSize=32m"},
+              "java": "", "g1_region": "32m"},
     "combo8": {"cores": 8, "conf": {"spark.sql.files.maxPartitionBytes": "64m"},
-               "java": "-XX:G1HeapRegionSize=32m"},
+               "java": "", "g1_region": "32m"},
 }
 
 
 def run_variant(name: str) -> None:
     v = VARIANTS[name]
-    if v["java"]:
-        # session.py composes extraJavaOptions itself; append via env override
-        os.environ["SPARK_GRAFT_EXTRA_JAVA"] = v["java"]
+    # ALWAYS assign both env knobs (never inherit a stale value from the
+    # launching shell — the java flags bind at gateway launch)
+    os.environ["SPARK_GRAFT_EXTRA_JAVA"] = v["java"]
+    os.environ["SPARK_GRAFT_G1_REGION"] = v.get("g1_region", "")
     from bench import BENCH_TURNS, _jvm_cpu_seconds, flagship
 
     from timberjack_spark.fixtures import bench_transcripts_dir
