@@ -912,13 +912,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE level <> '' AND upper(level) = 'ERROR'""",
         "t_pattern_regex": f"SELECT count(*) AS cnt FROM read_parquet('{tp}') WHERE regexp_matches(text, 'user_[0-9]+')",
         "t_field_filter_service": f"""SELECT count(*) AS cnt FROM (
-              SELECT text, json_extract_string(try_cast(text AS JSON), '$.service') AS fv
+              SELECT text, json_extract_string(try_cast(trim(text, {osql.WS_SQL}) AS JSON), '$.service') AS fv
               FROM read_parquet('{tp}'))
             WHERE CASE WHEN fv IS NOT NULL
                        THEN lower(trim(fv, {osql.WS_SQL})) = 'api'
                   ELSE contains(lower(text), 'service') AND contains(lower(text), 'api') END""",
         "t_field_filter_nested": f"""SELECT count(*) AS cnt FROM (
-              SELECT text, json_extract_string(try_cast(text AS JSON), '$.user.role') AS fv
+              SELECT text, json_extract_string(try_cast(trim(text, {osql.WS_SQL}) AS JSON), '$.user.role') AS fv
               FROM read_parquet('{tp}'))
             WHERE CASE WHEN fv IS NOT NULL
                        THEN lower(trim(fv, {osql.WS_SQL})) = 'admin'
@@ -928,8 +928,9 @@ def oracle_sql() -> dict[str, str]:
         # levels adjudicate every path; the general recursion/cap semantics
         # are pinned by tests/test_fields.py
         "t_field_histogram": f"""WITH j AS (
-              SELECT text::JSON AS doc FROM read_parquet('{tp}')
-              WHERE json_valid(text) AND trim(text) LIKE '{{%' AND trim(text) LIKE '%}}'),
+              SELECT trim(text, {osql.WS_SQL})::JSON AS doc FROM read_parquet('{tp}')
+              WHERE json_valid(trim(text, {osql.WS_SQL}))
+                AND trim(text, {osql.WS_SQL}) LIKE '{{%' AND trim(text, {osql.WS_SQL}) LIKE '%}}'),
             l1 AS (SELECT doc, unnest(json_keys(doc)) AS k1 FROM j),
             l1t AS (SELECT doc, k1, json_type(doc, '$.' || k1) AS t1 FROM l1),
             l2 AS (SELECT doc, k1, unnest(json_keys(doc, '$.' || k1)) AS k2 FROM l1t WHERE t1 = 'OBJECT'),

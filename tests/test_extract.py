@@ -26,6 +26,13 @@ EDGE_LINES = [
     '{"nolevel":"here"} [TRACE] trailing',
     "Connection timeout in NetworkClient.java:86",
     "API rate limit exceeded plus OutOfMemoryError later",
+    # non-ASCII / control whitespace: the Arrow grok trim must agree with
+    # Catalyst btrim on exactly the Unicode White_Space set — NBSP is trimmed
+    # (flips is_jsonish), \x1c-\x1f are NOT (Arrow's utf8_trim_whitespace
+    # would strip them; measured divergence, fixed via utf8_trim + _WS)
+    '\xa0{"level":"WARN","message":"nbsp-framed json"}\xa0',
+    '\x1c{"level":"WARN","message":"fs-framed non-json"}\x1c',
+    "2025-03-21 14:00:00 [ERROR] tab]\tmsg key needs trim\x1c",
 ]
 
 

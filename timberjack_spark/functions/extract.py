@@ -41,8 +41,14 @@ def _json_path(key: str) -> str:
 
 
 def json_first(text: Column, keys: list[str]) -> Column:
-    """First-present-key JSON lookup (null when none / malformed JSON)."""
-    return F.coalesce(*[F.get_json_object(text, _json_path(k)) for k in keys])
+    """First-present-key JSON lookup (null when none / malformed JSON).
+
+    The lookup parses the ws-TRIMMED text: the reference trims (Rust
+    str::trim) before serde-parsing, and Jackson rejects JSON framed by
+    non-JSON whitespace (NBSP etc.) that ws_trim strips — parity pinned by
+    the grok/extract edge test and the fuzzer."""
+    t = ws_trim(text)
+    return F.coalesce(*[F.get_json_object(t, _json_path(k)) for k in keys])
 
 
 # Unicode White_Space — the exact set Rust's str::trim (the reference,
@@ -172,7 +178,8 @@ def _json_parse_exprs(text_col: str, mode: str):
     driver-side serial time (~0.2 s) on every run of a parse query."""
     keys = JSON_LEVEL_KEYS + JSON_TIMESTAMP_KEYS + JSON_MESSAGE_KEYS
     aliases = tuple(f"_j{i}" for i in range(len(keys)))
-    jt = F.json_tuple(F.col(text_col), *keys).alias(*aliases)
+    # parse the TRIMMED text (see json_first: reference trims before serde)
+    jt = F.json_tuple(ws_trim(F.col(text_col)), *keys).alias(*aliases)
 
     def first(kset: list[str]) -> Column:
         return F.coalesce(*[F.col(aliases[keys.index(k)]) for k in kset])

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import json
 
+from .extract import _WS
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -61,7 +63,7 @@ def fields_map_udf(text: pd.Series) -> pd.Series:
     def one(t):
         if not t:
             return None
-        s = t.strip()
+        s = t.strip(_WS)
         if not (s.startswith("{") and s.endswith("}")):
             return None
         try:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .extract import _WS
 from .patterns import (
     BUCKET_LEN,
     ERROR_TYPE_RE,
@@ -113,9 +114,13 @@ def grok_batch(text: pd.Series) -> pd.DataFrame:
     ts_raw = pc.coalesce(pc.struct_field(pc.extract_regex(arr, _TS_RE2), "ts"), empty)
     err = pc.coalesce(pc.struct_field(pc.extract_regex(arr, _ERR_RE2), "e"), empty)
     seg = pc.struct_field(pc.extract_regex(arr, _MSG_RE2), "seg")
-    msg_key = pc.coalesce(pc.utf8_trim_whitespace(seg), arr)
+    # utf8_trim with the EXPLICIT Unicode White_Space set (extract.py:_WS):
+    # Arrow's utf8_trim_whitespace additionally strips \x1c-\x1f (utf8proc
+    # "whitespace", like Python str.strip), which the Catalyst path and the
+    # Rust reference do NOT — measured divergence, pinned by the parity test
+    msg_key = pc.coalesce(pc.utf8_trim(seg, characters=_WS), arr)
 
-    trimmed = pc.utf8_trim_whitespace(arr)
+    trimmed = pc.utf8_trim(arr, characters=_WS)
     jmask = pc.and_(
         pc.starts_with(trimmed, pattern="{"), pc.ends_with(trimmed, pattern="}")
     )

@@ -58,7 +58,7 @@ def field_predicate(text: Column, key: str, value: str, mode: str = "auto") -> C
     fallback = lower_line.contains(key.strip().lower()) & lower_line.contains(value.strip().lower())
     if mode == "generic":
         return fallback
-    field = F.get_json_object(text, _json_path(key.strip()))
+    field = F.get_json_object(ws_trim(text), _json_path(key.strip()))
     # ws_trim, not F.trim: the reference trims whitespace (Rust str::trim),
     # Spark's trim strips spaces only
     return F.when(field.isNotNull(), F.lower(ws_trim(field)) == value.strip().lower()).otherwise(fallback)

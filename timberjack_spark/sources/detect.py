@@ -15,6 +15,8 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.extract import _WS
+
 SAMPLE_LINES = 10
 JSON_THRESHOLD_PCT = 40
 
@@ -23,7 +25,7 @@ _LEVEL_HINTS = ("level", "severity", "log_level")
 
 
 def looks_like_json_line(line: str) -> bool:
-    t = line.strip()
+    t = line.strip(_WS)
     if not (t.startswith("{") and t.endswith("}")):
         return False
     try:
