@@ -78,6 +78,12 @@ def get_spark(
         # enough tasks to exercise all cores; on a real cluster reading 100 TB
         # you would leave this at the 128m default (fewer, fuller tasks).
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+        # Spark floors each file split at openCostInBytes (default 4m): a
+        # single 15 MB fixture file then scans as FOUR tasks on a 32-core
+        # box and every parse-stage query runs at 1/8 utilization (measured:
+        # sf0.1 full parse 3.2 s -> 1.2 s at 512k / 29 splits). At cluster
+        # scale bytes-per-core dwarfs this floor, so the override is inert.
+        .config("spark.sql.files.openCostInBytes", os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "524288"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
