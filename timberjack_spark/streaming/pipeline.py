@@ -77,24 +77,56 @@ def windowed_level_counts(
     )
 
 
+
+def _with_stream_shuffle(spark: SparkSession, state_partitions: int | None):
+    """Context manager: pin spark.sql.shuffle.partitions for a stream start.
+
+    Streaming state lives in one store instance PER shuffle partition, and a
+    bounded drain pays that instance setup every run: the sf0.1 windowed
+    drain measured 9.7 s at 64 partitions vs 2.0 s at 16 (identical result).
+    Size state partitions to the stateful operator's key volume, not to the
+    batch session's scan parallelism — at cluster scale you would RAISE this
+    (one instance per executor core), here the default 16 fits drain-sized
+    state. The conf is restored after .start(): the stream binds it at start.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        if state_partitions is None:
+            yield
+            return
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return cm()
+
+
 def run_stream_once(
     spark: SparkSession,
     src_dir: str,
     query_name: str = "stream_levels",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = 16,
 ) -> DataFrame:
     """Drain the source with an availableNow trigger into a memory sink and
-    return the result table — used to pin stream==batch equivalence in tests."""
+    return the result table — used to pin stream==batch equivalence in tests.
+    ``state_partitions`` sizes the stateful stage (see _with_stream_shuffle)."""
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_stream_ckpt_")
-    q = (
-        windowed_level_counts(routed_stream(stream_source(spark, src_dir)))
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _with_stream_shuffle(spark, state_partitions):
+        q = (
+            windowed_level_counts(routed_stream(stream_source(spark, src_dir)))
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(query_name)
 
@@ -175,17 +207,19 @@ def run_session_stats_once(
     src_dir: str,
     query_name: str = "conv_sessions",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = 16,
 ) -> DataFrame:
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_sess_ckpt_")
-    q = (
-        conv_session_stats(routed_stream(stream_source(spark, src_dir)))
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _with_stream_shuffle(spark, state_partitions):
+        q = (
+            conv_session_stats(routed_stream(stream_source(spark, src_dir)))
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(query_name)
 
@@ -204,6 +238,7 @@ def run_stream_dedup_once(
     src_dir: str,
     query_name: str = "stream_dedup",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = 16,
 ) -> DataFrame:
     """Drain the source, emitting each distinct parsed message template
     (msg_key) exactly once. Dedup on the template, not the raw line: raw log
@@ -214,13 +249,14 @@ def run_stream_dedup_once(
         .select("msg_key")
         .dropDuplicates(["msg_key"])
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _with_stream_shuffle(spark, state_partitions):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(query_name)
