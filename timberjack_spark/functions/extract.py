@@ -178,8 +178,15 @@ def _json_parse_exprs(text_col: str, mode: str):
     driver-side serial time (~0.2 s) on every run of a parse query."""
     keys = JSON_LEVEL_KEYS + JSON_TIMESTAMP_KEYS + JSON_MESSAGE_KEYS
     aliases = tuple(f"_j{i}" for i in range(len(keys)))
-    # parse the TRIMMED text (see json_first: reference trims before serde)
-    jt = F.json_tuple(ws_trim(F.col(text_col)), *keys).alias(*aliases)
+    # parse the TRIMMED text (see json_first: reference trims before serde).
+    # In auto mode the json_tuple INPUT is additionally gated on is_jsonish:
+    # its outputs are only ever consumed under `use_json` anyway, and a null
+    # input skips the Jackson parse attempt entirely — on a 7.7%-JSON corpus
+    # the JSON stage measured 8-13 s ungated vs 2.5 s gated per 24M rows
+    # (Jackson charges for every failed parse of a generic line).
+    text = F.col(text_col)
+    jt_input = ws_trim(text) if mode == "json" else F.when(is_jsonish(text), ws_trim(text))
+    jt = F.json_tuple(jt_input, *keys).alias(*aliases)
 
     def first(kset: list[str]) -> Column:
         return F.coalesce(*[F.col(aliases[keys.index(k)]) for k in kset])
