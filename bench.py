@@ -98,11 +98,15 @@ def timed_flagship(
         app_name=f"bench{cores}",
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
-            # 32m splits for the timed sessions: ~100 tasks over the 128-file
-            # corpus — enough waves to pack stragglers at every core level,
-            # but ~10% less per-task cpu overhead than the 16m test default
-            # (tools/tune_fullbox.py: 434 -> 382 cpu-s at 32 cores)
-            "spark.sql.files.maxPartitionBytes": "32m",
+            # 4m splits for the timed sessions: the 24M-turn corpus is only
+            # ~590 MB, so 32m splits left 19 tasks — 1.2 WAVES at 16 cores,
+            # and wave quantization (not bandwidth) became the scaling
+            # bottleneck once the json-gating cut per-row work. 4m -> ~150
+            # tasks: measured same-window A/B at 16 cores, 32.2 s/300 cpu-s
+            # (32m) vs 18.9 s/277 cpu-s (4m). At 100 TB bytes-per-core is
+            # huge and the 128m default is right; this knob only matters in
+            # the small-corpus bench regime.
+            "spark.sql.files.maxPartitionBytes": "4m",
         },
     )
     if warm:
