@@ -133,7 +133,7 @@ def scaling_measurement(low_cores: int, high_cores: int, src: str, rounds: int |
     bias the ratio one way. The median-ratio round is reported, and every
     round's (t_low, t_high) pair is returned so the artifact shows the spread
     instead of hiding it."""
-    rounds = rounds or int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
+    rounds = rounds or int(os.environ.get("BENCH_SCALING_ROUNDS", "4"))
     pairs = []
     for i in range(rounds):
         warm = i == 0
