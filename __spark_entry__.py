@@ -308,6 +308,27 @@ def _q_mktsegment_pivot(spark, sf_dir):
     )
 
 
+def _q_session_windows(spark, sf_dir):
+    """Spark-native session windows (F.session_window, 30-min gap): merges
+    events closer than the gap, new session at diff >= gap. Same operator
+    family as q_events_sessions (lag-based) but through the built-in API the
+    streaming flavor shares; oracle is classic gaps-and-islands SQL with the
+    matching >= boundary."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def _q_events_quantiles(spark, sf_dir):
     """Exact distribution summary per event type (percentile with linear
     interpolation — same estimator as DuckDB quantile_cont, so the oracle is
@@ -689,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_rollup": _q_orders_rollup,
         "q_lineitem_running": _q_lineitem_running,
         "q_mktsegment_pivot": _q_mktsegment_pivot,
+        "q_session_windows": _q_session_windows,
         "q_events_quantiles": _q_events_quantiles,
         "q_events_asof_click": _q_events_asof_click,
         "q_events_range_ctx": _q_events_range_ctx,
@@ -1013,6 +1035,20 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
+        "q_session_windows": """WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+            FROM s GROUP BY user_id, sid""",
         "q_events_quantiles": """SELECT event_type,
               round(quantile_cont(value, 0.25), 6) AS p25,
               round(quantile_cont(value, 0.50), 6) AS p50,

@@ -108,3 +108,15 @@ def test_quantiles_approx_matches_exact_within_tolerance(spark):
     for k in e:
         scale = max(abs(e[k]), 1e-9)
         assert abs(e[k] - a[k]) / scale < 0.01, (k, e[k], a[k])
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    # the exact count_distinct in d_doc_dedup_stats/t_conv_stats swaps to
+    # approx_count_distinct (HyperLogLog++, mergeable sketch) at corpus
+    # scale; pin that the swap is semantically safe at rsd=0.01
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = ev.agg(F.count_distinct("user_id")).first()[0]
+    approx = ev.agg(F.approx_count_distinct("user_id", 0.01)).first()[0]
+    assert abs(exact - approx) / exact < 0.03, (exact, approx)
