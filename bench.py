@@ -278,6 +278,9 @@ def main():
     if len(line) > 1750:  # still over: the prose note lives in the sidecar anyway
         out["scaling"].pop("official_pair", None)
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1750:  # last resort: whole-second query times (sidecar has full precision)
+        out["queries"] = {k: int(round(v)) for k, v in qtimes.items()}
+        line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 
