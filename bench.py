@@ -191,8 +191,11 @@ def main():
     work_efficiency = (cpu_low / cpu_high) if cpu_high else None
 
     # headline flagship throughput on the full box, plus an adjacent
-    # quarter-box run so the full-box (bandwidth-limited) pair is reported too
-    t_full, cpu_full = timed_flagship(CPUS, src, runs=RUNS)
+    # quarter-box run so the full-box (bandwidth-limited) pair is reported
+    # too. The headline gets min-of-2*RUNS: at ~10 s per run the extra
+    # samples are cheap and the headline is the single most-quoted number —
+    # one noisy slot cost round 3's committed artifact 17% of its throughput.
+    t_full, cpu_full = timed_flagship(CPUS, src, runs=2 * RUNS)
     t_quarter, cpu_quarter = timed_flagship(CPUS // 4, src, runs=RUNS)
 
     # per-query timings on the high-parallelism session
