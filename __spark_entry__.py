@@ -313,20 +313,11 @@ def _q_session_windows(spark, sf_dir):
     events closer than the gap, new session at diff >= gap. Same operator
     family as q_events_sessions (lag-based) but through the built-in API the
     streaming flavor shares; oracle is classic gaps-and-islands SQL with the
-    matching >= boundary."""
-    ev = _tbl(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            "user_id",
-            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
-            "n_events",
-        )
-    )
+    matching >= boundary. Shares its aggregation program with the streaming
+    drain (s_stream_session_windows) — one logic, two execution modes."""
+    from timberjack_spark.streaming.pipeline import session_windows_agg
+
+    return session_windows_agg(_tbl(spark, sf_dir, "events"))
 
 
 def _q_events_quantiles(spark, sf_dir):
@@ -681,8 +672,40 @@ def _q_stream_dedup(spark, sf_dir):
     )
 
 
+def _q_stream_session_windows(spark, sf_dir):
+    """Streaming drain of the session-window aggregation (F.session_window
+    under availableNow, complete mode) over the events file-stream — verified
+    against the same gaps-and-islands batch SQL as q_session_windows, so all
+    four streaming stages share the stream==batch contract. The events table
+    streams in as 4 time-ordered files so sessions genuinely merge across
+    micro-batches."""
+    from timberjack_spark.fixtures import events_stream_dir
+    from timberjack_spark.streaming.pipeline import run_stream_session_windows_once
+
+    _STREAM_SEQ[0] += 1
+    return run_stream_session_windows_once(
+        spark, events_stream_dir(sf_dir), query_name=f"q_stream_sw_{_STREAM_SEQ[0]}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order is the driver's adjudication order and its correctness gate
+    # checks the FIRST 50 entries. Never-yet-adjudicated and least-recently
+    # adjudicated entries therefore lead; the tail carries queries with the
+    # longest green history (the TPC-H-ish batch, green r01+r02+r03) so every
+    # operator family keeps a fresh CORRECTNESS row. (VERDICT r03 ask #1.)
     return {
+        # -- new / never driver-adjudicated --
+        "s_stream_session_windows": _q_stream_session_windows,  # NEW r04
+        "e_cosine_pairs": _q_cosine_pairs,        # oracle: exact all-pairs cosine (recall pinned)
+        "s_stream_dedup_msgs": _q_stream_dedup,
+        # -- last adjudicated r02 --
+        "d_bpe_tokens": _q_bpe_tokens,
+        "e_centroid_assign": _q_centroid_assign,
+        "e_ivf_topk": _q_ivf_topk,                # oracle: IVF semantics in SQL
+        "s_stream_level_counts": _q_stream_level_counts,
+        "s_stream_conv_sessions": _q_stream_conv_sessions,
+        # -- core operator inventory (adjudicated r03) --
         "t_total_count_error": _q_total_count_error,
         "t_level_histogram": _q_level_histogram,
         "t_trend_histogram": _q_trend_histogram,
@@ -702,25 +725,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_turn_ordering": _q_turn_ordering,
         "t_conv_stats": _q_conv_stats,
         "t_hourly_level_matrix": _q_hourly_level_matrix,
-        "q_lineitem_pricing": _q_lineitem_pricing,
-        "q_top_customers": _q_top_customers,
-        "q_events_hourly": _q_events_hourly,
-        "q_events_sessions": _q_events_sessions,
-        "q_top3_parts_per_brand": _q_top3_parts_per_brand,
-        "q_orders_rollup": _q_orders_rollup,
-        "q_lineitem_running": _q_lineitem_running,
-        "q_mktsegment_pivot": _q_mktsegment_pivot,
+        "t_level_histogram_grok": _q_level_histogram_grok,
+        "t_salted_conv_counts": _q_salted_conv_counts,
+        "t_redacted_lines": _q_redacted_lines,
         "q_session_windows": _q_session_windows,
         "q_events_quantiles": _q_events_quantiles,
         "q_events_asof_click": _q_events_asof_click,
         "q_events_range_ctx": _q_events_range_ctx,
         "d_doc_dedup_stats": _q_doc_dedup_stats,
         "d_doc_token_stats": _q_doc_token_stats,
-        "t_level_histogram_grok": _q_level_histogram_grok,
-        "t_salted_conv_counts": _q_salted_conv_counts,
         "d_text_stats": _q_text_stats,
         "d_doc_fingerprint": _q_doc_fingerprint,
-        "t_redacted_lines": _q_redacted_lines,
         "d_doc_repetition": _q_doc_repetition,
         "d_top_terms": _q_top_terms,
         "d_exact_dedup": _q_exact_dedup,
@@ -729,17 +744,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": _q_simhash_pairs,      # oracle: exact all-pairs (recall pinned)
         "e_brute_topk": _q_brute_topk,
         "e_lsh_topk": _q_lsh_topk,                # oracle: exact top-k (recall pinned)
+        "e_label_centroids": _q_label_centroids,
         "m_media_features": _q_media_features,
         "m_audio_features": _q_audio_features,
         "m_image_features": _q_image_features,
-        "e_label_centroids": _q_label_centroids,
-        "e_centroid_assign": _q_centroid_assign,
-        "e_ivf_topk": _q_ivf_topk,                # oracle: IVF semantics in SQL
-        "e_cosine_pairs": _q_cosine_pairs,        # oracle: exact all-pairs cosine (recall pinned)
-        "d_bpe_tokens": _q_bpe_tokens,
-        "s_stream_level_counts": _q_stream_level_counts,
-        "s_stream_conv_sessions": _q_stream_conv_sessions,
-        "s_stream_dedup_msgs": _q_stream_dedup,
+        # -- rotation tail: longest green history (r01+r02+r03) --
+        "q_lineitem_pricing": _q_lineitem_pricing,
+        "q_top_customers": _q_top_customers,
+        "q_events_hourly": _q_events_hourly,
+        "q_events_sessions": _q_events_sessions,
+        "q_top3_parts_per_brand": _q_top3_parts_per_brand,
+        "q_orders_rollup": _q_orders_rollup,
+        "q_lineitem_running": _q_lineitem_running,
+        "q_mktsegment_pivot": _q_mktsegment_pivot,
     }
 
 
@@ -904,7 +921,7 @@ def _redacted_lines_sql(tp: str) -> str:
         FROM red WHERE n_red > 0 GROUP BY line"""
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     from timberjack_spark.fixtures import transcripts_stream_dir
 
     tp = transcripts_path("sf0.01")
@@ -1036,15 +1053,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
         "q_session_windows": """WITH g AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
                                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                           THEN 1 ELSE 0 END AS new_s
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
+              -- sid window orders by (ts, event_id) — the SAME total order new_s
+              -- was computed over; ts alone would make the running sum's tie
+              -- order nondeterministic at duplicate-ts session boundaries
               SELECT user_id, ts,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               FROM g)
             SELECT user_id, min(ts) AS session_start, count(*) AS n_events
@@ -1185,3 +1205,12 @@ def oracle_sql() -> dict[str, str]:
             sha256(text) AS sha256
             FROM documents""",
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # the streaming session-window drain is verified against the IDENTICAL
+    # gaps-and-islands batch SQL as q_session_windows: stream==batch is the
+    # engine's streaming contract, so the oracle is shared by construction
+    sql["s_stream_session_windows"] = sql["q_session_windows"]
+    return sql

@@ -35,6 +35,60 @@ def test_stream_equals_batch(spark, src_dir):
     assert got == expected
 
 
+def test_stream_session_windows_equals_batch(spark, tmp_path_factory):
+    """Session-window agg drained as a multi-batch stream == the SAME
+    aggregation run in batch (shared program: session_windows_agg), on data
+    whose sessions genuinely straddle the micro-batch file boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timberjack_spark.streaming.pipeline import (
+        run_stream_session_windows_once,
+        session_windows_agg,
+    )
+
+    d = tmp_path_factory.mktemp("sesswin_src")
+    # 3 users x 200 events, 10-min steps (< the 30-min gap, so each user is
+    # ONE long session) split across 4 time-ordered files: every file boundary
+    # splits an open session, forcing the cross-batch merge path
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i * 3 + u, t0 + dt.timedelta(minutes=10 * i + u), u, "click", 1.0, "{}")
+        for i in range(200)
+        for u in range(3)
+    ]
+    rows.sort(key=lambda r: r[1])
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    step = 150
+    for i in range(4):
+        pq.write_table(tbl.slice(i * step, step), str(d / f"part-{i:03d}.parquet"))
+
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in run_stream_session_windows_once(
+            spark, str(d), query_name="t_stream_sesswin", max_files_per_trigger=1
+        ).collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_windows_agg(spark.read.parquet(str(d))).collect()
+    }
+    assert got == expected
+    # the merge actually happened: one session of 200 events per user
+    assert sorted(got.values()) == [200, 200, 200]
+
+
 def test_stateful_session_stats(spark, src_dir):
     out = run_session_stats_once(spark, src_dir, query_name="t_sessions")
     # memory sink in update mode may carry one row per trigger; take the last

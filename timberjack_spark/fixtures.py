@@ -237,6 +237,32 @@ def transcripts_stream_dir(sf_dir_or_name: str, n_files: int = 4) -> str:
     return path
 
 
+def events_stream_dir(sf_dir: str, n_files: int = 4) -> str:
+    """Directory form of the testdata ``events`` table (same rows, split into
+    ``n_files`` parts in event-time order) for ``readStream`` sources —
+    FileStreamSource requires a directory, and a multi-file split makes the
+    availableNow drain genuinely multi-batch so cross-batch session-window
+    state merging is exercised, not just batch-in-one-trigger."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(FIXTURE_DIR, f"events_stream_{name}_v{FIXTURE_VERSION}")
+    if not os.path.isdir(path):
+        os.makedirs(path, exist_ok=True)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        # time-ordered split: later files carry later events, the arrival
+        # pattern a log stream actually has (sessions open in batch i and
+        # extend in batch i+1)
+        tbl = tbl.sort_by("ts")
+        n = tbl.num_rows
+        step = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            pq.write_table(
+                tbl.slice(i * step, step),
+                os.path.join(path, f"part-{i:03d}.parquet"),
+                row_group_size=25_000,
+            )
+    return path
+
+
 def bench_transcripts_dir(spark: SparkSession, n: int, partitions: int | None = None) -> str:
     """Multi-file parquet corpus for throughput benchmarks, written once by the
     DISTRIBUTED generator — many input splits, the shape a real cluster reads.

@@ -225,6 +225,86 @@ def run_session_stats_once(
 
 
 # ---------------------------------------------------------------------------
+# streaming session windows — the F.session_window aggregation from the batch
+# q_session_windows, run under the streaming engine. The API is shared between
+# batch and streaming by construction; this drain completes the stream==batch
+# contract for the session-window stage (the other streaming stages: windowed
+# counts, stateful conv stats, exact dedup).
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def session_windows_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """(user_id, session_start, n_events) via the built-in session_window —
+    the SAME program the batch q_session_windows runs (one logic, two modes)."""
+    return (
+        events.groupBy(
+            "user_id", F.session_window(F.col("ts").cast("timestamp"), gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_session_windows_once(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "stream_sessions",
+    checkpoint_dir: str | None = None,
+    gap: str = "30 minutes",
+    state_partitions: int | None = 16,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Drain an events file-stream through the session-window aggregation.
+
+    ``complete`` output mode (no watermark): a bounded drain must emit EVERY
+    session, including those still open at end-of-stream — append mode only
+    releases a session once the watermark passes its close, so the tail
+    sessions of a bounded corpus would be withheld forever. Session state is
+    kept un-evicted and merges events into open sessions across micro-batches;
+    in a continuous deployment you would switch to append + withWatermark
+    (same aggregation — the one-line difference is the eviction policy).
+
+    ``max_files_per_trigger`` deliberately defaults ON here (unlike the other
+    drains): availableNow would otherwise swallow the whole directory in one
+    micro-batch and the cross-batch session-MERGE path — the thing this
+    operator exists to exercise — would never run. The events fixture is tiny,
+    so the serialized batches cost milliseconds.
+    """
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_sesswin_ckpt_")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(events_path)
+    with _with_stream_shuffle(spark, state_partitions):
+        q = (
+            session_windows_agg(src, gap=gap)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
 # streaming exact dedup — the training-pipeline "drop repeats as they arrive"
 # stage. dropDuplicates keeps the FIRST arrival per key and holds one state
 # row per distinct key; in a continuous deployment you would bound the state
