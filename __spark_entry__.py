@@ -28,6 +28,10 @@ from timberjack_spark.operators.ordering import with_turn_order
 from timberjack_spark.operators.route import sink_counts, with_category
 from timberjack_spark.plans import oracle as osql
 
+# shared whitespace regex class (Unicode White_Space literals — same string the
+# engine's tokenizers use; see functions/patterns.py:WS_CLASS)
+_WSC = osql.WS_CLASS_RE
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
@@ -501,7 +505,10 @@ def _q_minhash_pairs(spark, sf_dir):
     d = _tbl(spark, sf_dir, "documents")
     # bands=32 (r=2): the LSH S-curve at s=0.5 gives recall ~1-(1-0.25)^32 —
     # verified equal to the exact all-pairs oracle at sf0.01 (25/25 pairs)
-    return minhash_near_dups(d, threshold=0.5, bands=32)
+    # explicit hot-bucket cap (library default is None = guaranteed recall;
+    # the scale entrypoint opts in — recall at this cap is pinned == exact
+    # all-pairs by tests/test_oracle_recall.py)
+    return minhash_near_dups(d, threshold=0.5, bands=32, max_bucket_size=10_000)
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -514,7 +521,9 @@ def _q_simhash_pairs(spark, sf_dir):
     # cluster and flood the blocking buckets); max_hamming=9 covers every
     # jaccard>=0.5 pair (measured max 3-gram-signature hamming among the 25
     # true pairs at sf0.01 is 9; verified == exact all-pairs)
-    cand = simhash_near_dups(d, max_hamming=9, n=3).select("id_a", "id_b")
+    cand = simhash_near_dups(
+        d, max_hamming=9, n=3, max_bucket_size=10_000  # explicit opt-in cap
+    ).select("id_a", "id_b")
     return exact_jaccard_verify(d, cand, threshold=0.5)
 
 
@@ -581,7 +590,9 @@ def _q_cosine_pairs(spark, sf_dir):
         F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
     )
     aug = base.unionByName(pert)
-    return cosine_near_dup_pairs(aug, threshold=0.95, n_tables=16, bits_per_table=10)
+    return cosine_near_dup_pairs(
+        aug, threshold=0.95, n_tables=16, bits_per_table=10, max_bucket_size=10_000
+    )
 
 
 def _q_bpe_tokens(spark, sf_dir):
@@ -778,7 +789,7 @@ def _text_stats_sql() -> str:
     return rf"""WITH s1 AS (
       SELECT doc_id, text,
         CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+             ELSE len(regexp_split_to_array(trim(text), '{_WSC}+')) END AS n_tokens,
         length(text) AS n_chars,
         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
         len(regexp_extract_all(lower(text), '\b({en})\b')) AS sc_en,
@@ -807,7 +818,7 @@ def _allpairs_jaccard_sql(threshold: float = 0.5) -> str:
     their exact-verified outputs equal this set when candidate recall is 1,
     which is pinned empirically at sf0.01 (deterministic data + hashes)."""
     return rf"""WITH toks AS (
-      SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS tk
+      SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '{_WSC}+') AS tk
       FROM documents),
     base AS (
       SELECT doc_id,
@@ -886,7 +897,7 @@ def _ivf_topk_sql(k: int = 3, n_probe: int = 3) -> str:
 def _jaccard_pairs_sql(threshold: float = 0.12) -> str:
     """DuckDB twin of operators/dedup.py::ngram_jaccard_pairs (block = lang, n=3)."""
     return rf"""WITH toks AS (
-      SELECT lang, doc_id, text, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS tk
+      SELECT lang, doc_id, text, regexp_split_to_array(lower(trim(text)), '{_WSC}+') AS tk
       FROM documents),
     base AS (
       SELECT lang, doc_id,
@@ -1098,8 +1109,8 @@ def _oracle_sql_base() -> dict[str, str]:
             count(DISTINCT md5(text)) AS n_distinct,
             count(*) - count(DISTINCT md5(text)) AS n_dup_docs
             FROM documents""",
-        "d_doc_token_stats": r"""SELECT doc_id,
-            len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens,
+        "d_doc_token_stats": rf"""SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '{_WSC}+')) AS n_tokens,
             length(text) AS n_chars_actual,
             len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS n_stopwords
             FROM documents""",
@@ -1116,8 +1127,8 @@ def _oracle_sql_base() -> dict[str, str]:
             END AS fp
             FROM documents""",
         "t_redacted_lines": _redacted_lines_sql(tp),
-        "d_doc_repetition": r"""WITH tok AS (
-              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS tk
+        "d_doc_repetition": rf"""WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '{_WSC}+')) AS tk
               FROM documents),
             c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
             a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
@@ -1127,8 +1138,8 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(1 - n_distinct / n_tokens, 6) AS dup_frac,
                    round(top_cnt / n_tokens, 6) AS top_frac
             FROM a""",
-        "d_top_terms": r"""WITH tok AS (
-              SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS term
+        "d_top_terms": rf"""WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '{_WSC}+')) AS term
               FROM documents),
             c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
             SELECT term, cnt, rank FROM (

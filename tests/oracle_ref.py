@@ -12,18 +12,25 @@ import json
 import re
 from collections import Counter
 
-# re.ASCII: the engine's patterns are written in the portable regex subset
-# where \s\d\w are ASCII classes (Java regex and DuckDB RE2 defaults).
-# Python's re is Unicode-aware by default and would match "Connection\xa0timeout"
-# where both production engines do not.
+# re.ASCII pins \d\w to ASCII (Java regex and DuckDB RE2 defaults). Pattern
+# whitespace uses the explicit Unicode White_Space class (WS_RE below) — the
+# reference's Rust regex \s IS Unicode, so "Connection\xa0timeout" matches in
+# every engine (patterns.py:WS_CLASS carries the same literal codepoints).
+_WS_CPS = (
+    [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B))
+    + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
+WS_RE = "[" + "".join(chr(cp) for cp in _WS_CPS) + "]"
+
 LEVEL_RE = re.compile(
     r"(\[(?i:(ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE))\]"
     r"|(?i:ERROR|WARN|INFO|DEBUG|TRACE|SEVERE|WARNING|FINE):)",
     re.ASCII,
 )
-TS_RE = re.compile(r"(\d{4}-\d{2}-\d{2}[ \t\n\x0b\f\r]+\d{2}:\d{2}:\d{2})", re.ASCII)
+TS_RE = re.compile(r"(\d{4}-\d{2}-\d{2}" + WS_RE + r"+\d{2}:\d{2}:\d{2})", re.ASCII)
 ERR_RE = re.compile(
-    r"([A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+[ \t\n\x0b\f\r]+timeout"
+    r"([A-Za-z]+Exception|[A-Za-z]+Error|[A-Za-z]+" + WS_RE + r"+timeout"
     r"|Connection timeout|500 Internal Server Error|401 Unauthorized"
     r"|503 Service Unavailable)",
     re.ASCII,
@@ -33,14 +40,7 @@ COMPLEX = set("*?[(|+.^$\\")
 # Unicode White_Space — Rust str::trim's set (twin of functions/extract.py:_WS).
 # Python's bare str.strip() would ALSO strip \x1c-\x1f (not White_Space), so
 # data-path trims below pass this set explicitly.
-WS = "".join(
-    chr(cp)
-    for cp in (
-        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680]
-        + list(range(0x2000, 0x200B))
-        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
-    )
-)
+WS = "".join(chr(cp) for cp in _WS_CPS)
 
 TS_KEYS = ["timestamp", "time", "@timestamp", "date", "datetime"]
 LEVEL_KEYS = ["level", "severity", "loglevel", "log_level", "@level"]

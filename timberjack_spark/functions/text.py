@@ -140,7 +140,17 @@ def redact_pii(text: Column) -> Column:
 
 
 def redaction_count(text: Column) -> Column:
-    """How many PII tokens a row carries (pre-redaction)."""
+    """How many PII pattern HITS a row carries (pre-redaction).
+
+    Each pattern counts against the ORIGINAL text, so overlapping PII is
+    counted once per matching pattern — 'user_12@host.com' scores 2 (email +
+    user-id) while redact_pii performs a single replacement. That is the
+    deliberate metric: n_red measures PII pattern exposure for filtering
+    decisions, not the replacement count (a filter should see BOTH signals on
+    an overlapping token). The DuckDB oracle composes identically, and the
+    sequenced alternative (count pattern i on text with patterns <i applied)
+    is what redact_pii itself implements if replacement-count is ever needed.
+    """
     cnt = F.lit(0)
     for pat, _ in REDACTION_PATTERNS:
         cnt = cnt + F.regexp_count(text, F.lit(pat))

@@ -177,7 +177,7 @@ def minhash_near_dups(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH with exact-Jaccard verify.
 
@@ -193,9 +193,10 @@ def minhash_near_dups(
     explode — the standard LSH guard against quadratic blowup on degenerate
     corpora: a bucket of m docs emits m(m-1)/2 pairs IN ONE TASK (true of the
     round-2 self-join too — an equi-join sends each bucket to one reducer).
-    The default (10k members -> <=50M pairs/task) is far above any honest
-    near-dup cluster in the tuned-band regime; a bucket past it means the
-    banding is mis-tuned for the corpus. Set None for strict recall — dropped
+    The default is None — guaranteed recall, no silent pair loss; scale
+    deployments should pass an explicit cap (10k members -> <=50M pairs/task
+    is far above any honest near-dup cluster in the tuned-band regime; a
+    bucket past it means the banding is mis-tuned for the corpus). Dropped
     buckets cost recall only for pairs co-occurring NOWHERE but a hot bucket.
     """
     r = k // bands
@@ -259,7 +260,11 @@ def exact_jaccard_verify(
     the shingle arrays (measured 2x slower even at 5k docs). Above the limit
     the shuffle join is the right plan anyway.
     """
-    candidates = candidates.localCheckpoint(eager=True)
+    # LAZY checkpoint + count: the count() is the action that materializes the
+    # checkpoint (Catalyst cannot prune through the RDD-scan barrier, so the
+    # full rows persist), merging what used to be two serial driver barriers —
+    # eager materialization THEN a count job — into one job (VERDICT r03 #4).
+    candidates = candidates.localCheckpoint(eager=False)
     broadcast_limit = 2_000_000
     small = candidates.count() <= broadcast_limit
     hint = F.broadcast if small else (lambda x: x)
@@ -395,7 +400,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
     n: int = 1,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) by simhash hamming distance.
@@ -412,8 +417,9 @@ def simhash_near_dups(
     ``max_bucket_size`` drops blocking buckets larger than the cap before the
     pair explode — the standard LSH guard against quadratic blowup on skewed
     corpora (template-generated docs collapse into a few hot buckets). Capped
-    buckets cost recall for pairs ONLY co-occurring in hot buckets; leave None
-    for guaranteed recall.
+    buckets cost recall for pairs ONLY co-occurring in hot buckets; the
+    default None keeps the docstring's recall guarantee — scale deployments
+    opt into an explicit cap.
     """
     # single-scan candidate generation (see _bucket_pairs): the signature UDF
     # is referenced once, so no eager checkpoint is needed, the bucket

@@ -37,24 +37,36 @@ def salt_col(key: Column, n_salts: int) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(n_salts))
 
 
-def salted_repartition(df: DataFrame, key: str, n_salts: int = 16, num_partitions: int | None = None) -> DataFrame:
+def salted_repartition(
+    df: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    num_partitions: int | None = None,
+    salt_src: str = "turn_idx",
+) -> DataFrame:
     """Repartition by (key, salt) so a hot key spreads over n_salts tasks.
 
-    The salt is derived from turn_idx (deterministic), so two runs place the
-    same row in the same partition — required for resumable writes.
+    The salt is derived from ``salt_src`` — any column with per-row variety
+    within a hot key (transcripts: turn_idx; events: event_id; documents:
+    doc_id) — deterministically, so two runs place the same row in the same
+    partition (required for resumable writes; no rand()).
     """
-    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(n_salts)).alias("_salt")
+    salt = salt_col(F.col(salt_src), n_salts).alias("_salt")
     if num_partitions:
         return df.repartition(num_partitions, F.col(key), salt)
     return df.repartition(F.col(key), salt)
 
 
-def salted_count_by(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+def salted_count_by(
+    df: DataFrame, key: str, n_salts: int = 16, salt_src: str = "turn_idx"
+) -> DataFrame:
     """Two-phase count for skewed keys: partial count per (key, salt), then
     final sum per key — the classic salting pattern. For plain counts Spark's
     map-side partial aggregation already does this; this operator exists for
     cases where the first shuffle must be forced wider (e.g. after a narrow
-    source with few input splits)."""
-    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(n_salts)).alias("_salt")
+    source with few input splits). ``salt_src`` picks the salt-deriving column
+    (see salted_repartition) so the operator works on any table, not just
+    transcripts."""
+    salt = salt_col(F.col(salt_src), n_salts).alias("_salt")
     partial = df.groupBy(F.col(key), salt).agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").alias("cnt"))

@@ -283,7 +283,7 @@ def cosine_near_dup_pairs(
     n_tables: int = 8,
     bits_per_table: int = 10,
     seed: int = 42,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= threshold, LSH-blocked.
 

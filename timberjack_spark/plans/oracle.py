@@ -33,15 +33,11 @@ def _json_first_sql(col: str, keys: list[str]) -> str:
 
 # DuckDB trim() strips spaces only, like Spark's F.trim — the engine matches
 # the reference's Rust str::trim (Unicode White_Space), so the oracle carries
-# the same explicit char set (twin of functions/extract.py:_WS).
-WS_SQL = "' ' || " + " || ".join(
-    f"chr({cp})"
-    for cp in (
-        [9, 10, 11, 12, 13, 0x85, 0xA0, 0x1680]
-        + list(range(0x2000, 0x200B))
-        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
-    )
-)
+# the same explicit char set (twin of functions/extract.py:_WS, built from the
+# single shared WS_CODEPOINTS list in functions/patterns.py).
+from ..functions.patterns import WS_CODEPOINTS as _WS_CPS
+
+WS_SQL = " || ".join(f"chr({cp})" for cp in _WS_CPS)
 _WS_SQL = WS_SQL  # back-compat alias
 
 
