@@ -74,6 +74,24 @@ def test_brute_force_topk_reduces_before_window(spark):
     assert plan.index("MapInPandas") > plan.index("Window")
 
 
+def test_field_histogram_filters_before_arrow_udf(spark, src):
+    """The JVM is_jsonish filter must sit BELOW ArrowEvalPython so Python
+    receives only the JSON slice of the corpus (~8%), not every row — at
+    100 TB that is the difference between transferring 8 TB and 100 TB over
+    Arrow into Python workers."""
+    from timberjack_spark.functions.fields import field_name_histogram
+
+    plan = plan_of(field_name_histogram(src))
+    assert "ArrowEvalPython" in plan
+    # executedPlan prints top-down: the Filter must appear AFTER (= below)
+    # the Arrow node, i.e. between it and the scan
+    i_arrow = plan.index("ArrowEvalPython")
+    i_filter = plan.index("Filter", i_arrow)
+    i_scan = plan.index("Scan parquet", i_arrow)
+    assert i_arrow < i_filter < i_scan
+    assert "StartsWith" in plan and "EndsWith" in plan
+
+
 def test_minhash_verify_join_is_broadcast(spark):
     """Candidate pairs are measured-small -> the verify joins must broadcast
     (a stats-less checkpoint scan otherwise falls back to SortMergeJoin and
