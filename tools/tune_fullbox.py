@@ -55,6 +55,16 @@ VARIANTS: dict[str, dict] = {
                   "java": "", "g1_region": "32m"},
     "g1mpb32_32": {"cores": 32, "conf": {"spark.sql.files.maxPartitionBytes": "32m"},
                    "java": "", "g1_region": "32m"},
+    # thread sweep at the bench config: the DRAM-ceiling signature is cpu-work
+    # FLAT through the low thread counts and inflating only as concurrency
+    # approaches the socket's bandwidth (r4 measured: 1.354x at 4m splits vs
+    # 1.424x at 32m — config-invariant, so not a split/GC artifact)
+    "sweep4": {"cores": 4, "conf": {"spark.sql.files.maxPartitionBytes": "4m"},
+               "java": "", "g1_region": "32m"},
+    "sweep16": {"cores": 16, "conf": {"spark.sql.files.maxPartitionBytes": "4m"},
+                "java": "", "g1_region": "32m"},
+    "sweep24": {"cores": 24, "conf": {"spark.sql.files.maxPartitionBytes": "4m"},
+                "java": "", "g1_region": "32m"},
 }
 
 
