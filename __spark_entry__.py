@@ -499,6 +499,21 @@ def _q_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(d, block_cols=["lang"], threshold=0.12)
 
 
+def _q_contam_flags(spark, sf_dir):
+    """Benchmark decontamination: training docs flagged when any word 8-gram
+    also appears in the eval split (doc_id % 7 == 0 stands in for a held-out
+    benchmark suite). Exact n-gram hash semi-join — the eval gram set
+    broadcasts (benchmarks are tiny next to a training corpus), the training
+    side is one scan; output covers every training doc with hit count + flag
+    so the downstream keep/drop filter consumes it directly."""
+    from timberjack_spark.operators.dedup import decontaminate_flags
+
+    d = _tbl(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    tr = d.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate_flags(tr, ev, n=8)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     from timberjack_spark.operators.dedup import minhash_near_dups
 
@@ -716,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_ivf_topk": _q_ivf_topk,                # oracle: IVF semantics in SQL
         "s_stream_level_counts": _q_stream_level_counts,
         "s_stream_conv_sessions": _q_stream_conv_sessions,
+        # -- new r04 operator --
+        "d_contam_flags": _q_contam_flags,        # exact 8-gram eval-overlap decontamination
         # -- core operator inventory (adjudicated r03) --
         "t_total_count_error": _q_total_count_error,
         "t_level_histogram": _q_level_histogram,
@@ -735,7 +752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_enrich_rollup": _q_enrich_rollup,
         "t_turn_ordering": _q_turn_ordering,
         "t_conv_stats": _q_conv_stats,
-        "t_hourly_level_matrix": _q_hourly_level_matrix,
         "t_level_histogram_grok": _q_level_histogram_grok,
         "t_salted_conv_counts": _q_salted_conv_counts,
         "t_redacted_lines": _q_redacted_lines,
@@ -760,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_audio_features": _q_audio_features,
         "m_image_features": _q_image_features,
         # -- rotation tail: longest green history (r01+r02+r03) --
+        "t_hourly_level_matrix": _q_hourly_level_matrix,
         "q_lineitem_pricing": _q_lineitem_pricing,
         "q_top_customers": _q_top_customers,
         "q_events_hourly": _q_events_hourly,
@@ -1184,6 +1201,26 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS r
               FROM scored)
             WHERE r = 1""",
+        "d_contam_flags": rf"""WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '{_WSC}+') AS tk
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) - 7 >= 1
+                     THEN list_distinct(list_transform(range(1, len(tk) - 6),
+                            i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+                     ELSE [lower(trim(text))] END AS sh
+              FROM toks),
+            eg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
+            tg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 7 <> 0),
+            hits AS (SELECT doc_id, count(*) AS n FROM tg
+                     WHERE g IN (SELECT g FROM eg) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(n, 0)::BIGINT AS n_eval_grams_hit,
+                   coalesce(n, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+            LEFT JOIN hits USING (doc_id)""",
         "d_bpe_tokens": r"""SELECT doc_id,
               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
             FROM documents""",

@@ -173,3 +173,38 @@ def test_bucket_pairs_matches_combinations(spark):
         pair for _, ids in rows for pair in itertools.combinations(sorted(ids), 2)
     }
     assert got == want
+
+
+def test_decontaminate_flags_exact(spark):
+    """Known-overlap corpus: doc 0 shares an 8-gram run with eval doc 100,
+    doc 1 shares nothing, doc 2 is shorter than n and hits only via the
+    whole-text fallback when identical."""
+    from timberjack_spark.operators.dedup import decontaminate_flags
+
+    eval_docs = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "tiny doc"),
+    ]
+    train_docs = [
+        # contains eval doc 100's first 8 tokens as a contiguous run
+        (0, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+        # same vocabulary, but never 8 contiguous shared tokens
+        (1, "alpha beta gamma delta epsilon zeta eta NOPE theta iota kappa"),
+        # short doc == eval short doc -> whole-text fallback hit
+        (2, "tiny doc"),
+        # short doc, different text -> no hit
+        (3, "other doc"),
+    ]
+    ev = spark.createDataFrame(eval_docs, "doc_id long, text string")
+    tr = spark.createDataFrame(train_docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_eval_grams_hit"], r["contaminated"])
+        for r in decontaminate_flags(tr, ev, n=8).collect()
+    }
+    # doc 0: tokens[2:10] = eval's first 8-gram -> exactly 1 distinct hit
+    assert out[0] == (1, True)
+    assert out[1] == (0, False)
+    # doc 2 (< n tokens) falls back to whole text, which IS an eval fallback gram
+    assert out[2] == (1, True)
+    assert out[3] == (0, False)
+    assert len(out) == 4  # the left join restores every training doc

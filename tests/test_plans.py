@@ -103,3 +103,17 @@ def test_minhash_verify_join_is_broadcast(spark):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_eval_grams_broadcast(spark):
+    """The eval gram set must broadcast (benchmarks are tiny next to the
+    training corpus) — the training side is one scan with no corpus shuffle
+    before the per-doc count."""
+    from timberjack_spark.operators.dedup import decontaminate_flags
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = decontaminate_flags(
+        d.filter(F.col("doc_id") % 7 != 0), d.filter(F.col("doc_id") % 7 == 0), n=8
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan

@@ -8,6 +8,7 @@ pair loops, no quadratic blowup:
 * simhash   — 64-bit simhash (vectorized pandas UDF) -> band blocking -> hamming verify
 * ngram     — n-gram Jaccard within explicit blocking keys (exact, for small blocks)
 * embedding — cosine near-dup via random-hyperplane LSH over the vector column
+* decontam  — exact eval-overlap flags (n-gram hash semi-join vs a benchmark set)
 
 Scale notes: the only shuffles are groupBys on content-derived keys (hash,
 band bucket) — uniformly distributed by construction, no skew. Candidate
@@ -497,4 +498,65 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — the eval-overlap filter every LLM training
+# pipeline runs before the corpus ships (flag training docs sharing any word
+# n-gram with an evaluation/benchmark set). Exact by construction: n-gram
+# hash semi-join, no similarity estimate involved.
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_flags(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """(id, n_eval_grams_hit, contaminated) per training document.
+
+    A training doc is contaminated when ANY of its word ``n``-grams appears
+    anywhere in the eval corpus — the classic 8-to-13-gram overlap rule for
+    benchmark decontamination. ``n_eval_grams_hit`` counts the doc's DISTINCT
+    n-grams found in the eval set (shingles() already dedups grams per doc),
+    so severity is rankable, and docs below ``n`` tokens fall back to
+    whole-text membership (the shingles() short-doc contract).
+
+    Scale shape: the eval corpus is benchmarks — orders of magnitude smaller
+    than the training corpus — so its distinct gram hashes (8 bytes each;
+    ~10^7 grams = 80 MB for a 10^5-doc eval suite) broadcast, and the
+    training side is ONE scan + explode + broadcast join + per-doc count.
+    Nothing shuffles on the corpus. For an unusually large eval set pass
+    ``use_broadcast=False`` and the join shuffles on the gram hash (uniform
+    key by construction). The left join at the end restores non-contaminated
+    docs with a 0 count — the output covers the whole training corpus, which
+    is what the downstream drop/keep filter consumes.
+    """
+    g_eval = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    hint = F.broadcast if use_broadcast else (lambda x: x)
+    g_train = train_df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    ).select(id_col, F.xxhash64("_g").alias("_gh"))
+    hits = (
+        g_train.join(hint(g_eval), "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_grams_hit"))
+    )
+    return (
+        train_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_grams_hit", F.lit(0)).alias("n_eval_grams_hit"),
+            (F.coalesce("n_eval_grams_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
     )
