@@ -32,6 +32,11 @@ from timberjack_spark.plans import oracle as osql
 # engine's tokenizers use; see functions/patterns.py:WS_CLASS)
 _WSC = osql.WS_CLASS_RE
 
+# English stopword alternation for oracle twins of the stopword-ratio signal
+from timberjack_spark.functions.text import LANG_STOPWORDS as _LS
+
+_EN_STOPS = "|".join(_LS["en"])
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
@@ -499,6 +504,16 @@ def _q_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(d, block_cols=["lang"], threshold=0.12)
 
 
+def _q_quality_filter(spark, sf_dir):
+    """C4/Gopher-style keep-drop gate with audit reasons — one pure-projection
+    scan composing the row-local text signals; reasons string is rule-ordered
+    and '' means keep. The last stage of the curation chain (dedup ->
+    decontaminate -> quality filter)."""
+    from timberjack_spark.functions.text import quality_filter
+
+    return quality_filter(_tbl(spark, sf_dir, "documents"))
+
+
 def _q_contam_flags(spark, sf_dir):
     """Benchmark decontamination: training docs flagged when any word 8-gram
     also appears in the eval split (doc_id % 7 == 0 stands in for a held-out
@@ -733,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_conv_sessions": _q_stream_conv_sessions,
         # -- new r04 operator --
         "d_contam_flags": _q_contam_flags,        # exact 8-gram eval-overlap decontamination
+        "d_quality_filter": _q_quality_filter,    # keep/drop + reasons (pure projection)
         # -- core operator inventory (adjudicated r03) --
         "t_total_count_error": _q_total_count_error,
         "t_level_histogram": _q_level_histogram,
@@ -751,7 +767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_route_sink_counts": _q_route_sink_counts,
         "t_enrich_rollup": _q_enrich_rollup,
         "t_turn_ordering": _q_turn_ordering,
-        "t_conv_stats": _q_conv_stats,
         "t_level_histogram_grok": _q_level_histogram_grok,
         "t_salted_conv_counts": _q_salted_conv_counts,
         "t_redacted_lines": _q_redacted_lines,
@@ -776,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_audio_features": _q_audio_features,
         "m_image_features": _q_image_features,
         # -- rotation tail: longest green history (r01+r02+r03) --
+        "t_conv_stats": _q_conv_stats,
         "t_hourly_level_matrix": _q_hourly_level_matrix,
         "q_lineitem_pricing": _q_lineitem_pricing,
         "q_top_customers": _q_top_customers,
@@ -1201,6 +1217,30 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS r
               FROM scored)
             WHERE r = 1""",
+        "d_quality_filter": rf"""WITH s1 AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '{_WSC}+')) END AS n_tokens,
+                length(text) AS n_chars,
+                length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                len(regexp_extract_all(lower(text), '\b({_EN_STOPS})\b')) AS sc_en
+              FROM documents),
+            s2 AS (
+              SELECT doc_id, n_tokens,
+                round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END, 6) AS pr,
+                round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE sc_en / n_tokens END, 6) AS sr
+              FROM s1),
+            r AS (
+              SELECT doc_id, n_tokens,
+                coalesce(array_to_string(list_filter([
+                  CASE WHEN n_tokens < 10 THEN 'too_short' END,
+                  CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+                  CASE WHEN pr > 0.25 THEN 'high_punct' END,
+                  CASE WHEN sr < 0.01 THEN 'low_stopword' END
+                ], x -> x IS NOT NULL), ','), '') AS reasons
+              FROM s2)
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens, reasons, reasons = '' AS keep
+            FROM r""",
         "d_contam_flags": rf"""WITH toks AS (
               SELECT doc_id, text,
                      regexp_split_to_array(lower(trim(text)), '{_WSC}+') AS tk

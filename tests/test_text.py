@@ -81,3 +81,22 @@ def test_on_real_documents(spark):
     ).collect()[0]
     assert row["mn"] >= 1 and 0 < row["mq"] <= 1.0
     assert row["nf"] > row["n"] * 0.9  # fingerprints nearly unique on distinct docs
+
+
+def test_quality_filter_rules(spark):
+    from timberjack_spark.functions.text import quality_filter
+
+    docs = [
+        (0, "the cat sat on the mat and that is a fine place for a cat to sit"),  # clean
+        (1, "short doc"),                                              # too_short (+low_stopword? 'short doc' 0 stopwords -> also low_stopword)
+        (2, "!!!! ???? **** !!!! ???? **** the and of to in is that for"),  # high punct, stopwords fine, >=10 tokens
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # 10 tokens, no stopwords
+        (4, " ".join(["word the"] * 2600)),                           # too_long (5200 tokens)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["reasons"], r["keep"]) for r in quality_filter(df).collect()}
+    assert out[0] == ("", True)
+    assert out[1] == ("too_short,low_stopword", False)   # rule order is fixed
+    assert out[2][1] is False and "high_punct" in out[2][0]
+    assert out[3] == ("low_stopword", False)
+    assert out[4] == ("too_long", False)

@@ -155,3 +155,55 @@ def redaction_count(text: Column) -> Column:
     for pat, _ in REDACTION_PATTERNS:
         cnt = cnt + F.regexp_count(text, F.lit(pat))
     return cnt
+
+
+# ---------------------------------------------------------------------------
+# quality filter — the C4/Gopher-style keep-drop gate of a training-data
+# pipeline, composed from the row-local signals above. Pure projection: one
+# corpus scan, no shuffle, trivially parallel at any scale; reasons are
+# reported (not just a boolean) because curation pipelines audit WHY a
+# document dropped.
+# ---------------------------------------------------------------------------
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    max_punct_ratio: float = 0.25,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """(id, n_tokens, reasons, keep) per document.
+
+    Rules (fixed order, so the reasons string is deterministic):
+      too_short     n_tokens < min_tokens
+      too_long      n_tokens > max_tokens
+      high_punct    punct_ratio > max_punct_ratio
+      low_stopword  stopword_ratio < min_stopword_ratio (stopword presence is
+                    the classic natural-language-ness proxy; code dumps and
+                    boilerplate fail it)
+    ``reasons`` is the comma-joined list of failed rules ('' = clean) and
+    ``keep`` is reasons == '' — string-typed so the DuckDB oracle hash-compares
+    exactly. All signals are the same rounded expressions with_text_stats
+    exposes, so the filter thresholds see bit-identical values in both engines.
+    """
+    t = F.col(text_col)
+    nt, pr, sr = token_count(t), punct_ratio(t), stopword_ratio(t)
+    rules = [
+        ("too_short", nt < min_tokens),
+        ("too_long", nt > max_tokens),
+        ("high_punct", pr > max_punct_ratio),
+        ("low_stopword", sr < min_stopword_ratio),
+    ]
+    reasons = F.array_join(
+        F.array_compact(F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])),
+        ",",
+    )
+    return df.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )
