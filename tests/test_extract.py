@@ -127,3 +127,41 @@ def test_grok_batch_matches_expr_on_fixture(spark):
     local = grok_batch(pdf["text"].reset_index(drop=True))
     for c in ["level", "ts_raw", "bucket", "message", "error_type", "msg_key"]:
         assert list(expr[c]) == list(local[c]), c
+
+
+def test_unicode_whitespace_matches_all_engines(spark):
+    """ADVICE r03: the reference's Rust \\s is Unicode, so an NBSP-separated
+    'Connection\\u00a0timeout' must extract in every engine. WS_CLASS carries
+    the White_Space codepoints literally — pin tri-engine agreement (Catalyst,
+    DuckDB RE2, pure-Python oracle) on exactly that scenario."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from oracle_ref import ERR_RE
+    from timberjack_spark.functions.patterns import ERROR_TYPE_RE
+
+    lines = [
+        "Connection timeout while calling upstream",   # NBSP
+        "Connection timeout thin-space variant",        # THIN SPACE
+        "Connection timeout plain-space control",
+        "Connectiontimeout no separator -> no match",
+    ]
+    df = spark.createDataFrame([(t,) for t in lines], "text string")
+    spark_got = [
+        r["e"]
+        for r in df.select(F.regexp_extract("text", ERROR_TYPE_RE, 1).alias("e"))
+        .orderBy("text").collect()
+    ]
+    con = duckdb.connect()
+    duck_got = [
+        r[0]
+        for r in con.execute(
+            "SELECT coalesce(regexp_extract(t, ?, 1), '') FROM (SELECT unnest(?) AS t) ORDER BY t",
+            [ERROR_TYPE_RE, lines],
+        ).fetchall()
+    ]
+    py_got = [
+        (m.group(1) if (m := ERR_RE.search(t)) else "") for t in sorted(lines)
+    ]
+    assert spark_got == duck_got == py_got
+    assert sum(1 for g in spark_got if g) == 3  # the three separated variants match
