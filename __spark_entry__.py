@@ -36,6 +36,7 @@ _WSC = osql.WS_CLASS_RE
 from timberjack_spark.functions.text import LANG_STOPWORDS as _LS
 
 _EN_STOPS = "|".join(_LS["en"])
+_WS_CHARS = _WSC[1:-1]  # the literal White_Space codepoints without brackets
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -824,7 +825,7 @@ def _text_stats_sql() -> str:
         CASE WHEN trim(text) = '' THEN 0
              ELSE len(regexp_split_to_array(trim(text), '{_WSC}+')) END AS n_tokens,
         length(text) AS n_chars,
-        length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[A-Za-z0-9{_WS_CHARS}]', '', 'g')) AS n_punct,
         len(regexp_extract_all(lower(text), '\b({en})\b')) AS sc_en,
         list_max([{lang_items}]) AS best
       FROM documents),
@@ -1222,7 +1223,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN trim(text) = '' THEN 0
                      ELSE len(regexp_split_to_array(trim(text), '{_WSC}+')) END AS n_tokens,
                 length(text) AS n_chars,
-                length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                length(regexp_replace(text, '[A-Za-z0-9{_WS_CHARS}]', '', 'g')) AS n_punct,
                 len(regexp_extract_all(lower(text), '\b({_EN_STOPS})\b')) AS sc_en
               FROM documents),
             s2 AS (
@@ -1261,8 +1262,8 @@ def _oracle_sql_base() -> dict[str, str]:
                    coalesce(n, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
             LEFT JOIN hits USING (doc_id)""",
-        "d_bpe_tokens": r"""SELECT doc_id,
-              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        "d_bpe_tokens": rf"""SELECT doc_id,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9{_WS_CHARS}]')) AS n_bpe_tokens
             FROM documents""",
         "s_stream_level_counts": f"""{osql.parsed_cte(f"SELECT * FROM read_parquet('{sp}')")}
             SELECT date_trunc('hour', ts) AS win_start, level, count(*) AS cnt

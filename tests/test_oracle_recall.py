@@ -47,7 +47,11 @@ def test_minhash_oracle_recall_floor(docs, exact_pairs):
 
     got = {
         (r["id_a"], r["id_b"])
-        for r in minhash_near_dups(docs, threshold=0.5, bands=32).collect()
+        # same capped config the driver entrypoint runs (__spark_entry__):
+        # the recall==exact statement must pin what is actually adjudicated
+        for r in minhash_near_dups(
+            docs, threshold=0.5, bands=32, max_bucket_size=10_000
+        ).collect()
     }
     # == (not >=): the verify stage makes precision exact, so equality IS the
     # recall-1 statement the driver oracle depends on
@@ -57,7 +61,9 @@ def test_minhash_oracle_recall_floor(docs, exact_pairs):
 def test_simhash_oracle_recall_floor(docs, exact_pairs):
     from timberjack_spark.operators.dedup import exact_jaccard_verify, simhash_near_dups
 
-    cand = simhash_near_dups(docs, max_hamming=9, n=3).select("id_a", "id_b")
+    cand = simhash_near_dups(
+        docs, max_hamming=9, n=3, max_bucket_size=10_000  # entrypoint config
+    ).select("id_a", "id_b")
     got = {
         (r["id_a"], r["id_b"])
         for r in exact_jaccard_verify(docs, cand, threshold=0.5).collect()

@@ -244,10 +244,18 @@ def events_stream_dir(sf_dir: str, n_files: int = 4) -> str:
     availableNow drain genuinely multi-batch so cross-batch session-window
     state merging is exercised, not just batch-in-one-trigger."""
     name = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(FIXTURE_DIR, f"events_stream_{name}_v{FIXTURE_VERSION}")
-    if not os.path.isdir(path):
+    src = os.path.join(sf_dir, "events.parquet")
+    # content-address the cache on the SOURCE file's identity, not just the
+    # fixture version: unlike the generated transcript fixtures, this data
+    # comes from external testdata — if that parquet is regenerated, a
+    # version-only key would silently serve stale rows against a fresh oracle
+    st = os.stat(src)
+    key = f"{st.st_size}_{int(st.st_mtime)}"
+    path = os.path.join(FIXTURE_DIR, f"events_stream_{name}_v{FIXTURE_VERSION}_{key}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):  # marker guards against partial writes too
         os.makedirs(path, exist_ok=True)
-        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        tbl = pq.read_table(src)
         # time-ordered split: later files carry later events, the arrival
         # pattern a log stream actually has (sessions open in batch i and
         # extend in batch i+1)
@@ -260,6 +268,7 @@ def events_stream_dir(sf_dir: str, n_files: int = 4) -> str:
                 os.path.join(path, f"part-{i:03d}.parquet"),
                 row_group_size=25_000,
             )
+        open(done, "w").close()
     return path
 
 

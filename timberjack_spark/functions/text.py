@@ -39,13 +39,25 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """A BPE-ish proxy: count word pieces + digits + punctuation runs
-    (regexp-based, JVM-side) — tracks subword token counts within ~10%."""
-    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
+    (regexp-based, JVM-side) — tracks subword token counts within ~10%.
+    The whitespace chars are the shared literal set (see _NON_PUNCT_CLASS)."""
+    return F.size(
+        F.regexp_extract_all(
+            text, F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9" + WS_CLASS[1:-1] + "]"), F.lit(0)
+        )
+    )
+
+
+# non-punct class for punct_ratio: alphanumerics + the SHARED literal
+# whitespace codepoints. A bare \s here would diverge between Java regex
+# (includes \x0b) and the DuckDB oracle's RE2 (doesn't) — the exact
+# portability trap patterns.py:WS_CLASS documents.
+_NON_PUNCT_CLASS = "[A-Za-z0-9" + WS_CLASS[1:-1] + "]"
 
 
 def punct_ratio(text: Column) -> Column:
     n = F.length(text)
-    p = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    p = F.length(F.regexp_replace(text, _NON_PUNCT_CLASS, ""))
     return F.round(F.coalesce(F.try_divide(p, n), F.lit(0.0)), 6)
 
 

@@ -536,16 +536,25 @@ def decontaminate_flags(
     docs with a 0 count — the output covers the whole training corpus, which
     is what the downstream drop/keep filter consumes.
     """
+    # null grams (a null-text doc shingles to [null]) are dropped on BOTH
+    # sides: xxhash64(null) returns the seed constant, so two null-text docs
+    # would otherwise "match" each other — and SQL `IN` semantics (the oracle)
+    # never match NULL. Null text carries no content to decontaminate against.
     g_eval = (
         eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("_g"))
+        .filter(F.col("_g").isNotNull())
         .select(F.xxhash64("_g").alias("_gh"))
         .distinct()
     )
     hint = F.broadcast if use_broadcast else (lambda x: x)
-    g_train = train_df.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("_g"),
-    ).select(id_col, F.xxhash64("_g").alias("_gh"))
+    g_train = (
+        train_df.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .filter(F.col("_g").isNotNull())
+        .select(id_col, F.xxhash64("_g").alias("_gh"))
+    )
     hits = (
         g_train.join(hint(g_eval), "_gh", "left_semi")
         .groupBy(id_col)
