@@ -547,8 +547,13 @@ def decontaminate_flags(
         .distinct()
     )
     hint = F.broadcast if use_broadcast else (lambda x: x)
+    # _ensure_parallelism: a small single-file corpus scans as ONE partition
+    # and the gram explode (the dominant cost — interpreted higher-order
+    # shingle expressions) would run on one core (measured 19.8 s -> ~2 s at
+    # sf0.1); no-op at real scale where the scan has thousands of splits
     g_train = (
-        train_df.select(
+        _ensure_parallelism(train_df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col),
             F.explode(shingles(F.col(text_col), n)).alias("_g"),
         )
