@@ -241,7 +241,16 @@ def main():
         for name in slow:
             t0 = time.perf_counter()
             qfns[name](spark, SF_DIR).collect()
-            qtimes[name] = min(qtimes[name], time.perf_counter() - t0)
+            second = time.perf_counter() - t0
+            if second >= qtimes[name]:
+                # the fresh-session sample was no better — the first pass-2
+                # queries pay the new app's own cold start (footers, codegen,
+                # Python workers), exactly the cost this pass exists to strip.
+                # One more sample in the NOW-WARM session settles it.
+                t0 = time.perf_counter()
+                qfns[name](spark, SF_DIR).collect()
+                second = min(second, time.perf_counter() - t0)
+            qtimes[name] = min(qtimes[name], second)
     qtimes = {k: round(v, 2) for k, v in qtimes.items()}
 
     scaling_compact = {
