@@ -326,7 +326,15 @@ def main():
             "cluster adds memory bandwidth with every executor"
         ),
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+    # off-scale runs (smoke tests, tiny BENCH_TURNS) write a suffixed sidecar
+    # so they can never clobber the official sf0.1 record
+    official = SF_DIR.rstrip("/").endswith("sf0.1") and BENCH_TURNS >= 24_000_000
+    sidecar = (
+        "BENCH_LOCAL.json"
+        if official
+        else f"BENCH_LOCAL_{os.path.basename(SF_DIR.rstrip('/'))}_{BENCH_TURNS}.json"
+    )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar), "w") as fh:
         json.dump(full, fh, indent=1)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1950:  # stdout-tail budget: degrade per-query precision, never the head
