@@ -95,3 +95,48 @@ def test_read_rejects_mixed_directory(spark, tmp_path):
     (d / "b.parquet").write_bytes(b"PAR1")
     with pytest.raises(ValueError, match="mixes text logs and parquet"):
         Timber.read(spark, str(d))
+
+
+def test_cli_module_json_parity(spark, tmp_path):
+    """python -m timberjack_spark must produce the SAME report document the
+    library API assembles (one subprocess = one JVM, so one invocation
+    covers flags + file input + JSON output)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from timberjack_spark.fixtures import transcripts_pandas
+    from timberjack_spark.operators.analyze import LogQuery, analyze, collect_report
+
+    pdf = transcripts_pandas(2000)
+    log = tmp_path / "cli.log"
+    log.write_text("\n".join(pdf["text"]))
+
+    out = subprocess.run(
+        [sys.executable, "-m", "timberjack_spark", str(log),
+         "--chop", "ERROR", "--stats", "--trend", "--json"],
+        capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = _json.loads(out.stdout)
+
+    df = spark.read.text(str(log)).withColumnRenamed("value", "text")
+    q = LogQuery(pattern="ERROR", trends=True, stats=True)
+    expected = collect_report(analyze(df, q), q)
+    assert got == expected
+    assert got["total_count"] > 0
+
+
+def test_cli_rejects_declared_formats(tmp_path):
+    import subprocess
+    import sys
+
+    log = tmp_path / "x.log"
+    log.write_text("line\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "timberjack_spark", str(log), "--format", "apache"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert out.returncode == 2
+    assert "declared but has no parser" in out.stderr
