@@ -239,18 +239,18 @@ def main():
 
         spark.range(256).repartition(CPUS).select(F.sum(_warm("id"))).collect()
         for name in slow:
-            t0 = time.perf_counter()
-            qfns[name](spark, SF_DIR).collect()
-            second = time.perf_counter() - t0
-            if second >= qtimes[name]:
-                # the fresh-session sample was no better — the first pass-2
-                # queries pay the new app's own cold start (footers, codegen,
-                # Python workers), exactly the cost this pass exists to strip.
-                # One more sample in the NOW-WARM session settles it.
+            # two samples unconditionally: the first pays whatever cold cost
+            # the fresh session still carries (footers, codegen, stream
+            # checkpoint dirs), the second is the warm measurement. A
+            # conditional retry proved insufficient — a fresh-session sample
+            # that is merely BETTER than pass 1 can still be cold (observed:
+            # d_contam_flags booked 4.6 s while its warm cost is 0.6 s).
+            best = qtimes[name]
+            for _ in range(2):
                 t0 = time.perf_counter()
                 qfns[name](spark, SF_DIR).collect()
-                second = min(second, time.perf_counter() - t0)
-            qtimes[name] = min(qtimes[name], second)
+                best = min(best, time.perf_counter() - t0)
+            qtimes[name] = best
     qtimes = {k: round(v, 2) for k, v in qtimes.items()}
 
     scaling_compact = {
