@@ -475,8 +475,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard inside blocking-key groups (e.g. same lang +
     length bucket). Quadratic ONLY within a block — block sizing is the
-    caller's scale contract."""
-    base = df.select(
+    caller's scale contract.
+
+    _ensure_parallelism: the shingle arrays are interpreted higher-order
+    expressions evaluated BELOW the block-key exchange, i.e. on the scan's
+    partitioning — a small single-file corpus would compute every shingle
+    array (twice: once per join side) on ONE core. Measured at sf0.1:
+    126 s -> 6 s. No-op at real scale.
+    """
+    base = _ensure_parallelism(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), n).alias("_sh"),
