@@ -113,6 +113,12 @@ def fingerprint(text: Column) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    # the fingerprint + language regexes are interpreted/expensive per row;
+    # on a small single-file scan they'd all run on 1-2 cores (measured 2.5x
+    # at sf0.1). No-op at real scale — see dedup._ensure_parallelism.
+    from ..operators.dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     t = F.col(text_col)
     return df.withColumns(
         {
