@@ -37,6 +37,11 @@ from timberjack_spark.functions.text import LANG_STOPWORDS as _LS
 
 _EN_STOPS = "|".join(_LS["en"])
 _WS_CHARS = _WSC[1:-1]  # the literal White_Space codepoints without brackets
+# explicit-charset trim for the tokenizer twins: DuckDB's bare trim() strips an
+# INCONSISTENT subset of Unicode spaces (NBSP/ideographic yes; tab/VT/U+2028
+# no) while the engine trims the full shared White_Space set (ws_trim) —
+# fuzz-found divergence on an NBSP-only document
+_TRIMT = "trim(text, " + osql.WS_SQL + ")"
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -822,8 +827,8 @@ def _text_stats_sql() -> str:
     en = "|".join(LANG_STOPWORDS["en"])
     return rf"""WITH s1 AS (
       SELECT doc_id, text,
-        CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '{_WSC}+')) END AS n_tokens,
+        CASE WHEN {_TRIMT} = '' THEN 0
+             ELSE len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) END AS n_tokens,
         length(text) AS n_chars,
         length(regexp_replace(text, '[A-Za-z0-9{_WS_CHARS}]', '', 'g')) AS n_punct,
         len(regexp_extract_all(lower(text), '\b({en})\b')) AS sc_en,
@@ -852,14 +857,14 @@ def _allpairs_jaccard_sql(threshold: float = 0.5) -> str:
     their exact-verified outputs equal this set when candidate recall is 1,
     which is pinned empirically at sf0.01 (deterministic data + hashes)."""
     return rf"""WITH toks AS (
-      SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '{_WSC}+') AS tk
+      SELECT doc_id, text, regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk
       FROM documents),
     base AS (
       SELECT doc_id,
         CASE WHEN len(tk) - 2 >= 1
              THEN list_distinct(list_transform(range(1, len(tk) - 1),
                     i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
-             ELSE [lower(trim(text))] END AS sh
+             ELSE [lower({_TRIMT})] END AS sh
       FROM toks)
     SELECT id_a, id_b, jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -931,14 +936,14 @@ def _ivf_topk_sql(k: int = 3, n_probe: int = 3) -> str:
 def _jaccard_pairs_sql(threshold: float = 0.12) -> str:
     """DuckDB twin of operators/dedup.py::ngram_jaccard_pairs (block = lang, n=3)."""
     return rf"""WITH toks AS (
-      SELECT lang, doc_id, text, regexp_split_to_array(lower(trim(text)), '{_WSC}+') AS tk
+      SELECT lang, doc_id, text, regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk
       FROM documents),
     base AS (
       SELECT lang, doc_id,
         CASE WHEN len(tk) - 2 >= 1
              THEN list_distinct(list_transform(range(1, len(tk) - 1),
                     i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
-             ELSE [lower(trim(text))] END AS sh
+             ELSE [lower({_TRIMT})] END AS sh
       FROM toks WHERE doc_id < 500)
     SELECT id_a, id_b, jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1144,7 +1149,7 @@ def _oracle_sql_base() -> dict[str, str]:
             count(*) - count(DISTINCT md5(text)) AS n_dup_docs
             FROM documents""",
         "d_doc_token_stats": rf"""SELECT doc_id,
-            len(regexp_split_to_array(trim(text), '{_WSC}+')) AS n_tokens,
+            len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) AS n_tokens,
             length(text) AS n_chars_actual,
             len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS n_stopwords
             FROM documents""",
@@ -1162,7 +1167,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM documents""",
         "t_redacted_lines": _redacted_lines_sql(tp),
         "d_doc_repetition": rf"""WITH tok AS (
-              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '{_WSC}+')) AS tk
+              SELECT doc_id, unnest(regexp_split_to_array({_TRIMT}, '{_WSC}+')) AS tk
               FROM documents),
             c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
             a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
@@ -1173,7 +1178,7 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(top_cnt / n_tokens, 6) AS top_frac
             FROM a""",
         "d_top_terms": rf"""WITH tok AS (
-              SELECT unnest(regexp_split_to_array(trim(text), '{_WSC}+')) AS term
+              SELECT unnest(regexp_split_to_array({_TRIMT}, '{_WSC}+')) AS term
               FROM documents),
             c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
             SELECT term, cnt, rank FROM (
@@ -1220,8 +1225,8 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE r = 1""",
         "d_quality_filter": rf"""WITH s1 AS (
               SELECT doc_id,
-                CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '{_WSC}+')) END AS n_tokens,
+                CASE WHEN {_TRIMT} = '' THEN 0
+                     ELSE len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) END AS n_tokens,
                 length(text) AS n_chars,
                 length(regexp_replace(text, '[A-Za-z0-9{_WS_CHARS}]', '', 'g')) AS n_punct,
                 len(regexp_extract_all(lower(text), '\b({_EN_STOPS})\b')) AS sc_en
@@ -1244,14 +1249,14 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM r""",
         "d_contam_flags": rf"""WITH toks AS (
               SELECT doc_id, text,
-                     regexp_split_to_array(lower(trim(text)), '{_WSC}+') AS tk
+                     regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk
               FROM documents),
             sh AS (
               SELECT doc_id,
                 CASE WHEN len(tk) - 7 >= 1
                      THEN list_distinct(list_transform(range(1, len(tk) - 6),
                             i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
-                     ELSE [lower(trim(text))] END AS sh
+                     ELSE [lower({_TRIMT})] END AS sh
               FROM toks),
             eg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
             tg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 7 <> 0),

@@ -74,3 +74,50 @@ def test_parse_matches_python_reference(spark, lines):
              em.group(1) if em else "", oracle_ref.msg_key(ln))
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# quality-filter twin fuzz: Spark expressions vs the DuckDB dialect twin on
+# generated documents (exotic whitespace, punctuation runs, empty/short docs)
+# — fuzzes the dialect space where the round-4 review found latent \s
+# divergences, beyond what the fixture corpus can exercise.
+# ---------------------------------------------------------------------------
+
+doc_st = st.text(
+    alphabet=(
+        "abc THE the and of to in is that for !?*#.,123"
+        "\t\n\x0b\f\r\xa0 　"  # incl. the Java-vs-RE2 \s divergence chars
+    ),
+    max_size=80,
+)
+
+
+@pytest.mark.slow
+@settings(max_examples=MAX_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_st, min_size=1, max_size=20))
+def test_quality_filter_matches_duckdb_twin(spark, docs):
+    import duckdb
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_fuzz", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from timberjack_spark.functions.text import quality_filter
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["reasons"], r["keep"])
+        for r in quality_filter(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs_src", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    sql = entry._oracle_sql_base()["d_quality_filter"]
+    expected = {
+        int(r[0]): (int(r[1]), r[2], bool(r[3]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == expected

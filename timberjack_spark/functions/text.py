@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .extract import ws_trim
 from .patterns import WS_CLASS
 
 # Tiny per-language stopword lists for the n-gram/stopword-voting language ID.
@@ -32,8 +33,13 @@ BASE = 31
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization; empty string -> 0 tokens."""
-    t = F.trim(text)
+    """Whitespace tokenization; empty/whitespace-only -> 0 tokens.
+
+    Trims with ws_trim (the shared Unicode White_Space set), NOT F.trim:
+    DuckDB's bare trim() strips an inconsistent subset of Unicode spaces
+    (NBSP yes, tab/VT/line-sep no), so only an explicit shared charset keeps
+    the oracle twin exact — fuzz-found on an NBSP-only document."""
+    t = ws_trim(text)
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_CLASS + "+")))
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.extract import ws_trim
 from ..functions.patterns import WS_CLASS
 
 
@@ -67,14 +68,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), built with higher-order functions
     (sequence + transform + slice) — pure JVM."""
-    toks = F.split(F.lower(F.trim(text)), WS_CLASS + "+")
+    # ws_trim, not F.trim: the Unicode charset is shared with the DuckDB
+    # twins (bare trim() diverges on NBSP-framed text — see token_count)
+    toks = F.split(F.lower(ws_trim(text)), WS_CLASS + "+")
     k = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     # short docs: fall back to the whole text as a single shingle
-    return F.when(k >= 1, F.array_distinct(grams)).otherwise(F.array(F.lower(F.trim(text))))
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(F.array(F.lower(ws_trim(text))))
 
 
 def minhash_signature(sh: Column, k: int = 64) -> Column:
