@@ -121,3 +121,42 @@ def test_quality_filter_matches_duckdb_twin(spark, docs):
         for r in con.execute(sql).fetchall()
     }
     assert got == expected
+
+
+@pytest.mark.slow
+@settings(max_examples=max(MAX_EXAMPLES // 3, 8), deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_st, min_size=2, max_size=12))
+def test_decontaminate_matches_duckdb_twin(spark, docs):
+    """Same dialect-space fuzz for the decontamination twin: n-gram
+    construction, null/short-doc fallbacks and the IN-vs-semi-join hit
+    counting must agree on whitespace-exotic documents."""
+    import importlib.util
+
+    import duckdb
+    import pandas as _pd
+
+    spec = importlib.util.spec_from_file_location("entry_fuzz2", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from pyspark.sql import functions as F
+
+    from timberjack_spark.operators.dedup import decontaminate_flags
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_eval_grams_hit"], r["contaminated"])
+        for r in decontaminate_flags(
+            df.filter(F.col("doc_id") % 7 != 0), df.filter(F.col("doc_id") % 7 == 0), n=8
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs_src", _pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    expected = {
+        int(r[0]): (int(r[1]), bool(r[2]))
+        for r in con.execute(entry._oracle_sql_base()["d_contam_flags"]).fetchall()
+    }
+    assert got == expected
