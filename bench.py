@@ -253,6 +253,23 @@ def main():
             qtimes[name] = best
     qtimes = {k: round(v, 2) for k, v in qtimes.items()}
 
+    # Streaming-drain throughput over the SAME 24M-turn corpus: the full
+    # parse -> route -> windowed stateful aggregation under the streaming
+    # engine (availableNow, exactly-once state). Long-running (30 s+), so a
+    # single self-averaging run; sidecar-only (the stdout line stays lean).
+    from timberjack_spark.streaming.pipeline import run_stream_once
+
+    t0 = time.perf_counter()
+    drain_tbl = run_stream_once(spark, src, query_name="bench_drain", state_partitions=CPUS)
+    drained = sum(r["cnt"] for r in drain_tbl.collect())
+    t_drain = time.perf_counter() - t0
+    streaming_rec = {
+        "drain_sec": round(t_drain, 2),
+        "turns": drained,
+        "turns_per_sec": int(round(drained / t_drain)),
+        "note": "availableNow drain of parse->route->windowed level counts (stateful), memory sink",
+    }
+
     scaling_compact = {
         "cores_low": low_cores,
         "t_low_sec": round(t_low, 2),
@@ -298,6 +315,7 @@ def main():
     full = dict(out)
     full["n_turns"] = n_turns
     full["detail"] = "BENCH_LOCAL.json"
+    full["streaming"] = streaming_rec
     full["scaling"] = {
         **scaling_compact,
         "efficiency_median_pair": efficiency_median_pair,
