@@ -35,7 +35,7 @@ _WSC = osql.WS_CLASS_RE
 # English stopword alternation for oracle twins of the stopword-ratio signal
 from timberjack_spark.functions.text import LANG_STOPWORDS as _LS
 
-_EN_STOPS = "|".join(_LS["en"])
+_EN_IN_LIST = ",".join(f"'{w}'" for w in _LS["en"])
 _WS_CHARS = _WSC[1:-1]  # the literal White_Space codepoints without brackets
 # explicit-charset trim for the tokenizer twins: DuckDB's bare trim() strips an
 # INCONSISTENT subset of Unicode spaces (NBSP/ideographic yes; tab/VT/U+2028
@@ -402,7 +402,15 @@ def _q_doc_token_stats(spark, sf_dir):
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
-        F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|and|in)\b")).alias("n_stopwords"),
+        # split-on-non-word + exact match, not \b: Java \b is Unicode-aware,
+        # RE2's is ASCII — word-boundary regexes are outside the portable
+        # subset (see text.stopword_count)
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[^A-Za-z0-9_]+"),
+                lambda t: t.isin("the", "a", "of", "and", "in"),
+            )
+        ).alias("n_stopwords"),
     )
 
 
@@ -819,21 +827,31 @@ def _text_stats_sql() -> str:
     """DuckDB twin of functions/text.py::with_text_stats (minus fingerprint)."""
     from timberjack_spark.functions.text import LANG_STOPWORDS
 
+    def _in_list(lang):
+        return ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+
+    # split-on-non-word + IN-list, not '\b' regexes: Java \b is Unicode-aware
+    # while RE2's is ASCII (see text.stopword_count) — the twins must count
+    # with the identical portable construction
     lang_items = ", ".join(
-        "{'score': len(regexp_extract_all(lower(text), '\\b(%s)\\b')), 'lang': '%s'}"
-        % ("|".join(LANG_STOPWORDS[lang]), lang)
+        "{'score': len(list_filter(wtoks, t -> t IN (%s))), 'lang': '%s'}"
+        % (_in_list(lang), lang)
         for lang in sorted(LANG_STOPWORDS)
     )
-    en = "|".join(LANG_STOPWORDS["en"])
-    return rf"""WITH s1 AS (
+    en_list = _in_list("en")
+    return rf"""WITH s0 AS (
+      SELECT doc_id, text,
+        regexp_split_to_array(lower(text), '[^a-z0-9_]+') AS wtoks
+      FROM documents),
+    s1 AS (
       SELECT doc_id, text,
         CASE WHEN {_TRIMT} = '' THEN 0
              ELSE len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) END AS n_tokens,
         length(text) AS n_chars,
         length(regexp_replace(text, '[A-Za-z0-9{_WS_CHARS}]', '', 'g')) AS n_punct,
-        len(regexp_extract_all(lower(text), '\b({en})\b')) AS sc_en,
+        len(list_filter(wtoks, t -> t IN ({en_list}))) AS sc_en,
         list_max([{lang_items}]) AS best
-      FROM documents),
+      FROM s0),
     s2 AS (
       SELECT doc_id, text, n_tokens, n_chars,
         round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END, 6) AS punct_ratio,
@@ -1151,7 +1169,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "d_doc_token_stats": rf"""SELECT doc_id,
             len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) AS n_tokens,
             length(text) AS n_chars_actual,
-            len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS n_stopwords
+            len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'),
+                            t -> t IN ('the','a','of','and','in'))) AS n_stopwords
             FROM documents""",
         # the pandas-UDF grok path must produce the identical histogram
         "t_level_histogram_grok": f"{P} SELECT level, count(*) AS cnt FROM parsed GROUP BY level",
@@ -1229,7 +1248,8 @@ def _oracle_sql_base() -> dict[str, str]:
                      ELSE len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) END AS n_tokens,
                 length(text) AS n_chars,
                 length(regexp_replace(text, '[A-Za-z0-9{_WS_CHARS}]', '', 'g')) AS n_punct,
-                len(regexp_extract_all(lower(text), '\b({_EN_STOPS})\b')) AS sc_en
+                len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                t -> t IN ({_EN_IN_LIST}))) AS sc_en
               FROM documents),
             s2 AS (
               SELECT doc_id, n_tokens,

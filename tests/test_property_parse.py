@@ -87,6 +87,7 @@ doc_st = st.text(
     alphabet=(
         "abc THE the and of to in is that for !?*#.,123"
         "\t\n\x0b\f\r\xa0 　"  # incl. the Java-vs-RE2 \s divergence chars
+        "é中ß"  # non-ASCII letters: word-boundary + punct-class behavior
     ),
     max_size=80,
 )

@@ -68,8 +68,16 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_count(text: Column, lang: str = "en") -> Column:
-    words = "|".join(LANG_STOPWORDS[lang])
-    return F.regexp_count(F.lower(text), F.lit(rf"\b({words})\b"))
+    """Count stopword occurrences by splitting on non-word runs and exact-
+    matching tokens — NOT with a ``\\b``-anchored regex: Java's ``\\b`` is
+    Unicode-aware while RE2's is ASCII (fuzz-found on 'toß' — one word to
+    Java, two to the DuckDB oracle), so word-boundary regexes are outside the
+    portable subset. The ASCII word-char split gives identical, well-defined
+    semantics in every engine; non-ASCII letters act as separators (fine for
+    an ASCII-stopword heuristic, and consistent both sides)."""
+    words = LANG_STOPWORDS[lang]
+    toks = F.split(F.lower(text), r"[^a-z0-9_]+")
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
