@@ -153,6 +153,12 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # oracle applies the identical strings with the 'g' flag.
 # ---------------------------------------------------------------------------
 
+# KNOWN portable-subset caveat: the \b anchors here diverge between Java
+# (Unicode-aware boundary) and RE2 (ASCII) ONLY when a PII token abuts a
+# non-ASCII letter ('üuser_12' redacts under RE2, not under Java). Replacement
+# regexes cannot use the split-and-match workaround stopword_count uses, and
+# RE2 has no lookbehind to emulate \b portably — the divergence is accepted
+# and documented; log/transcript PII in practice abuts ASCII separators.
 REDACTION_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
