@@ -743,6 +743,28 @@ def _q_stream_session_windows(spark, sf_dir):
     )
 
 
+def _q_stream_decontam(spark, sf_dir):
+    """Streaming decontamination: documents stream in (4-file drain) and each
+    id sharing any word 8-gram with the STATIC eval split (doc_id % 7 == 0)
+    is emitted exactly once — the batch d_contam_flags semi-join under the
+    streaming engine (stream-static broadcast join + dropDuplicates state).
+    Oracle: the batch contamination SQL restricted to contaminated ids."""
+    from timberjack_spark.fixtures import documents_stream_dir
+    from timberjack_spark.streaming.pipeline import run_stream_decontam_once
+
+    ev = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    _STREAM_SEQ[0] += 1
+    out = run_stream_decontam_once(
+        spark,
+        documents_stream_dir(sf_dir),
+        ev,
+        query_name=f"q_stream_dc_{_STREAM_SEQ[0]}",
+    )
+    # the stream carries the whole corpus incl. the eval split; restrict to
+    # TRAINING docs to match the batch operator's output domain
+    return out.filter(F.col("doc_id") % 7 != 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's adjudication order and its correctness gate
     # checks the FIRST 50 entries. Never-yet-adjudicated and least-recently
@@ -763,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new r04 operator --
         "d_contam_flags": _q_contam_flags,        # exact 8-gram eval-overlap decontamination
         "d_quality_filter": _q_quality_filter,    # keep/drop + reasons (pure projection)
+        "s_stream_decontam": _q_stream_decontam,  # stream-static decontamination drain
         # -- core operator inventory (adjudicated r03) --
         "t_total_count_error": _q_total_count_error,
         "t_level_histogram": _q_level_histogram,
@@ -785,7 +808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_salted_conv_counts": _q_salted_conv_counts,
         "t_redacted_lines": _q_redacted_lines,
         "q_session_windows": _q_session_windows,
-        "q_events_quantiles": _q_events_quantiles,
         "q_events_asof_click": _q_events_asof_click,
         "q_events_range_ctx": _q_events_range_ctx,
         "d_doc_dedup_stats": _q_doc_dedup_stats,
@@ -805,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_audio_features": _q_audio_features,
         "m_image_features": _q_image_features,
         # -- rotation tail: longest green history (r01+r02+r03) --
+        "q_events_quantiles": _q_events_quantiles,
         "t_conv_stats": _q_conv_stats,
         "t_hourly_level_matrix": _q_hourly_level_matrix,
         "q_lineitem_pricing": _q_lineitem_pricing,
@@ -1267,6 +1290,20 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM s2)
             SELECT doc_id, n_tokens::BIGINT AS n_tokens, reasons, reasons = '' AS keep
             FROM r""",
+        "s_stream_decontam": rf"""WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) - 7 >= 1
+                     THEN list_distinct(list_transform(range(1, len(tk) - 6),
+                            i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+                     ELSE [lower({_TRIMT})] END AS sh
+              FROM toks),
+            eg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
+            tg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 7 <> 0)
+            SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM eg)""",
         "d_contam_flags": rf"""WITH toks AS (
               SELECT doc_id, text,
                      regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk

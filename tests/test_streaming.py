@@ -108,3 +108,51 @@ def test_stateful_session_stats(spark, src_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_decontam_equals_batch(spark, tmp_path_factory):
+    """Streaming decontamination (multi-batch drain) == the batch operator's
+    contaminated set, on a corpus where contamination spans batch boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timberjack_spark.operators.dedup import decontaminate_flags
+    from timberjack_spark.streaming.pipeline import run_stream_decontam_once
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = []
+    for i in range(40):
+        if i % 5 == 0:
+            docs.append((i, f"lead{i} {base} tail{i}"))   # contains the eval 8-gram
+        else:
+            docs.append((i, f"doc {i} unique words nothing shared here at all {i}"))
+    eval_rows = [(1000, base + " iota kappa")]
+
+    d = tmp_path_factory.mktemp("decontam_src")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["t"] * len(docs)),
+            "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+        }
+    )
+    step = 10
+    for i in range(4):
+        pq.write_table(tbl.slice(i * step, step), str(d / f"part-{i:03d}.parquet"))
+
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in run_stream_decontam_once(
+            spark, str(d), ev, query_name="t_stream_decontam"
+        ).collect()
+    }
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    expected = {
+        r["doc_id"]
+        for r in decontaminate_flags(batch, ev, n=8).filter("contaminated").collect()
+    }
+    assert got == expected
+    assert got == {i for i in range(40) if i % 5 == 0}

@@ -272,6 +272,30 @@ def events_stream_dir(sf_dir: str, n_files: int = 4) -> str:
     return path
 
 
+def documents_stream_dir(sf_dir: str, n_files: int = 4) -> str:
+    """Directory form of the testdata ``documents`` table for ``readStream``
+    sources (same content-addressed caching contract as events_stream_dir)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{st.st_size}_{int(st.st_mtime)}"
+    path = os.path.join(FIXTURE_DIR, f"documents_stream_{name}_v{FIXTURE_VERSION}_{key}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        tbl = pq.read_table(src)
+        n = tbl.num_rows
+        step = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            pq.write_table(
+                tbl.slice(i * step, step),
+                os.path.join(path, f"part-{i:03d}.parquet"),
+                row_group_size=25_000,
+            )
+        open(done, "w").close()
+    return path
+
+
 def bench_transcripts_dir(spark: SparkSession, n: int, partitions: int | None = None) -> str:
     """Multi-file parquet corpus for throughput benchmarks, written once by the
     DISTRIBUTED generator — many input splits, the shape a real cluster reads.

@@ -340,3 +340,74 @@ def run_stream_dedup_once(
         )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# streaming decontamination — "drop contaminated docs as they arrive": the
+# batch decontaminate_flags semi-join run under the streaming engine. The
+# eval gram set is a STATIC broadcast side (benchmarks don't stream); the
+# document stream explodes to gram hashes, stream-static-semi-joins, and a
+# stateful dropDuplicates emits each contaminated doc id exactly once.
+# ---------------------------------------------------------------------------
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def run_stream_decontam_once(
+    spark: SparkSession,
+    docs_path: str,
+    eval_df: DataFrame,
+    query_name: str = "stream_decontam",
+    checkpoint_dir: str | None = None,
+    n: int = 8,
+    state_partitions: int | None = 16,
+) -> DataFrame:
+    """Drain a document file-stream, emitting each CONTAMINATED doc_id (any
+    word n-gram shared with the static eval corpus) exactly once.
+
+    Plan shape: the stream side is stateless per-row work (explode + hash +
+    broadcast semi-join against the static eval gram set — the same join the
+    batch operator uses), and the only state is the dropDuplicates on doc_id,
+    bounded by the number of contaminated docs. stream==batch contract: the
+    output ids equal the batch decontaminate_flags rows with contaminated =
+    true, which is the DuckDB-oracle statement.
+    """
+    from ..operators.dedup import shingles
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_decontam_ckpt_")
+    g_eval = (
+        eval_df.select(F.explode(shingles(F.col("text"), n)).alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .select(F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    g_doc = (
+        src.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .select("doc_id", F.xxhash64("_g").alias("_gh"))
+    )
+    contaminated = (
+        g_doc.join(F.broadcast(g_eval), "_gh", "left_semi")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    with _with_stream_shuffle(spark, state_partitions):
+        q = (
+            contaminated.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.table(query_name)
