@@ -380,18 +380,31 @@ def run_stream_decontam_once(
     output ids equal the batch decontaminate_flags rows with contaminated =
     true, which is the DuckDB-oracle statement.
     """
-    from ..operators.dedup import shingles
+    from ..operators.dedup import _ensure_parallelism, shingles
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_decontam_ckpt_")
+    # materialize the static side ONCE before the stream starts: a
+    # stream-static join re-evaluates the static plan per micro-batch, and
+    # the eval gram build (interpreted shingle expressions + distinct) is the
+    # expensive part — localCheckpoint turns every per-batch broadcast build
+    # into a read of the tiny materialized hash set (measured 9.0 -> ~3 s at
+    # sf0.1). _ensure_parallelism spreads the one-time build itself.
     g_eval = (
-        eval_df.select(F.explode(shingles(F.col("text"), n)).alias("_g"))
+        _ensure_parallelism(eval_df.select("text"))
+        .select(F.explode(shingles(F.col("text"), n)).alias("_g"))
         .filter(F.col("_g").isNotNull())
         .select(F.xxhash64("_g").alias("_gh"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     src = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    # stream-side repartition BEFORE the gram explode: a 4-file micro-batch
+    # scans as 4 tasks and the interpreted shingle expressions would run at
+    # 1/8 utilization — the streaming analog of _ensure_parallelism (at real
+    # scale micro-batches carry many input splits and the exchange is noise)
     g_doc = (
-        src.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("_g"))
+        src.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(shingles(F.col("text"), n)).alias("_g"))
         .filter(F.col("_g").isNotNull())
         .select("doc_id", F.xxhash64("_g").alias("_gh"))
     )
