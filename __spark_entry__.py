@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timberjack_spark.fixtures import dim_path, dim_role_df, dim_tool_df, transcripts_path
-from timberjack_spark.functions.extract import with_parsed
+from timberjack_spark.functions.extract import with_parsed, ws_trim
 from timberjack_spark.operators import aggregates as agg
 from timberjack_spark.operators.analyze import LogQuery, matched
 from timberjack_spark.operators.enrich import enrich
@@ -397,7 +397,7 @@ def _q_doc_dedup_stats(spark, sf_dir):
 
 def _q_doc_token_stats(spark, sf_dir):
     d = _tbl(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), osql.WS_CLASS_RE + "+")
+    toks = F.split(ws_trim(F.col("text")), osql.WS_CLASS_RE + "+")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -469,7 +469,7 @@ def _q_doc_repetition(spark, sf_dir):
     the shuffle never skews at corpus scale."""
     d = _tbl(spark, sf_dir, "documents")
     c = (
-        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), osql.WS_CLASS_RE + "+")).alias("tk"))
+        d.select("doc_id", F.explode(F.split(ws_trim(F.col("text")), osql.WS_CLASS_RE + "+")).alias("tk"))
         .groupBy("doc_id", "tk")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -494,7 +494,7 @@ def _q_top_terms(spark, sf_dir):
     build-the-tokenizer-vocab job (explode + partial-agg count + small sort)."""
     d = _tbl(spark, sf_dir, "documents")
     cnt = (
-        d.select(F.explode(F.split(F.trim(F.col("text")), osql.WS_CLASS_RE + "+")).alias("term"))
+        d.select(F.explode(F.split(ws_trim(F.col("text")), osql.WS_CLASS_RE + "+")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -526,6 +526,20 @@ def _q_quality_filter(spark, sf_dir):
     from timberjack_spark.functions.text import quality_filter
 
     return quality_filter(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_quality_filter_v2(spark, sf_dir):
+    """Quality gate with the Gopher repetition rules armed: the two read-only
+    d_doc_repetition signals (duplicate-token fraction, top-token dominance)
+    become actionable drop rules high_dup / top_token_dominance, appended
+    after the base C4 rules in the same rule-ordered reasons contract.
+    Adds one two-level token aggregation + a co-partitioned doc_id join to
+    the base projection — the full curation keep/drop gate a pipeline runs."""
+    from timberjack_spark.functions.text import quality_filter
+
+    return quality_filter(
+        _tbl(spark, sf_dir, "documents"), max_dup_frac=0.6, max_top_frac=0.2
+    )
 
 
 def _q_contam_flags(spark, sf_dir):
@@ -785,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new r04 operator --
         "d_contam_flags": _q_contam_flags,        # exact 8-gram eval-overlap decontamination
         "d_quality_filter": _q_quality_filter,    # keep/drop + reasons (pure projection)
+        "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules (NEW r05)
         "s_stream_decontam": _q_stream_decontam,  # stream-static decontamination drain
         # -- core operator inventory (adjudicated r03) --
         "t_total_count_error": _q_total_count_error,
@@ -972,6 +987,60 @@ def _ivf_topk_sql(k: int = 3, n_probe: int = 3) -> str:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored)
             WHERE rank <= {k}"""
+
+
+def _quality_filter_sql(
+    max_dup_frac: float | None = None, max_top_frac: float | None = None
+) -> str:
+    """DuckDB twin of functions/text.py::quality_filter. With the repetition
+    thresholds set it appends the Gopher high_dup / top_token_dominance rules
+    computed from the same (doc, token) -> doc aggregation d_doc_repetition
+    uses, left-joined on doc_id (null/empty docs get NULL fracs and pass the
+    repetition rules — null_text/too_short already dropped them)."""
+    rep_cte, rep_join, rep_rules = "", "", ""
+    if max_dup_frac is not None or max_top_frac is not None:
+        rep_cte = rf""",
+            tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array({_TRIMT}, '{_WSC}+')) AS tk
+              FROM documents),
+            tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+            rep AS (
+              SELECT doc_id, round(1 - count(*) / sum(c), 6) AS dup_frac,
+                     round(max(c) / sum(c), 6) AS top_frac
+              FROM tc GROUP BY doc_id)"""
+        rep_join = " LEFT JOIN rep USING (doc_id)"
+    if max_dup_frac is not None:
+        rep_rules += f",\n                  CASE WHEN dup_frac > {max_dup_frac} THEN 'high_dup' END"
+    if max_top_frac is not None:
+        rep_rules += (
+            f",\n                  CASE WHEN top_frac > {max_top_frac} THEN 'top_token_dominance' END"
+        )
+    return rf"""WITH s1 AS (
+              SELECT doc_id, text IS NULL AS is_null,
+                CASE WHEN {_TRIMT} = '' THEN 0
+                     ELSE len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) END AS n_tokens,
+                length(text) AS n_chars,
+                length(regexp_replace(text, '[A-Za-z0-9{_WS_CHARS}]', '', 'g')) AS n_punct,
+                len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                t -> t IN ({_EN_IN_LIST}))) AS sc_en
+              FROM documents),
+            s2 AS (
+              SELECT doc_id, is_null, n_tokens,
+                round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END, 6) AS pr,
+                round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE sc_en / n_tokens END, 6) AS sr
+              FROM s1){rep_cte},
+            r AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN is_null THEN 'null_text'
+                ELSE coalesce(array_to_string(list_filter([
+                  CASE WHEN n_tokens < 10 THEN 'too_short' END,
+                  CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+                  CASE WHEN pr > 0.25 THEN 'high_punct' END,
+                  CASE WHEN sr < 0.01 THEN 'low_stopword' END{rep_rules}
+                ], x -> x IS NOT NULL), ','), '') END AS reasons
+              FROM s2{rep_join})
+            SELECT doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens, reasons, reasons = '' AS keep
+            FROM r"""
 
 
 def _jaccard_pairs_sql(threshold: float = 0.12) -> str:
@@ -1265,31 +1334,8 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS r
               FROM scored)
             WHERE r = 1""",
-        "d_quality_filter": rf"""WITH s1 AS (
-              SELECT doc_id,
-                CASE WHEN {_TRIMT} = '' THEN 0
-                     ELSE len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) END AS n_tokens,
-                length(text) AS n_chars,
-                length(regexp_replace(text, '[A-Za-z0-9{_WS_CHARS}]', '', 'g')) AS n_punct,
-                len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
-                                t -> t IN ({_EN_IN_LIST}))) AS sc_en
-              FROM documents),
-            s2 AS (
-              SELECT doc_id, n_tokens,
-                round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END, 6) AS pr,
-                round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE sc_en / n_tokens END, 6) AS sr
-              FROM s1),
-            r AS (
-              SELECT doc_id, n_tokens,
-                coalesce(array_to_string(list_filter([
-                  CASE WHEN n_tokens < 10 THEN 'too_short' END,
-                  CASE WHEN n_tokens > 5000 THEN 'too_long' END,
-                  CASE WHEN pr > 0.25 THEN 'high_punct' END,
-                  CASE WHEN sr < 0.01 THEN 'low_stopword' END
-                ], x -> x IS NOT NULL), ','), '') AS reasons
-              FROM s2)
-            SELECT doc_id, n_tokens::BIGINT AS n_tokens, reasons, reasons = '' AS keep
-            FROM r""",
+        "d_quality_filter": _quality_filter_sql(),
+        "d_quality_filter_v2": _quality_filter_sql(max_dup_frac=0.6, max_top_frac=0.2),
         "s_stream_decontam": rf"""WITH toks AS (
               SELECT doc_id, text,
                      regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk

@@ -100,3 +100,47 @@ def test_quality_filter_rules(spark):
     assert out[2][1] is False and "high_punct" in out[2][0]
     assert out[3] == ("low_stopword", False)
     assert out[4] == ("too_long", False)
+
+
+def test_quality_filter_null_text(spark):
+    """A null/missing document must NOT pass the gate by NULL-comparison
+    fallthrough (ADVICE r04): explicit null_text rule, n_tokens coalesced."""
+    from timberjack_spark.functions.text import quality_filter
+
+    df = spark.createDataFrame([(0, None), (1, "the cat sat on the mat and that is a fine spot")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert out[0]["reasons"] == "null_text" and out[0]["keep"] is False
+    assert out[0]["n_tokens"] == 0
+    assert out[1]["keep"] is True
+    # repetition variant: null text has no token rows -> NULL fracs -> the
+    # repetition rules pass it through; null_text still drops it
+    out2 = {r["doc_id"]: r for r in
+            quality_filter(df, max_dup_frac=0.6, max_top_frac=0.2).collect()}
+    assert out2[0]["reasons"] == "null_text" and out2[0]["keep"] is False
+
+
+def test_quality_filter_repetition_rules(spark):
+    """Gopher repetition gates (VERDICT r04 ask #7): dup_frac / top_frac from
+    the d_doc_repetition aggregation become high_dup / top_token_dominance,
+    appended after the base rules in fixed order."""
+    from timberjack_spark.functions.text import quality_filter
+
+    docs = [
+        # 16 tokens, all distinct, stopwords present -> clean
+        (0, "the cat sat on a mat and then it ran off to find some more food"),
+        # 'spam' 12x + 4 stopword tokens: dup_frac 12/16=0.75>0.6, top 12/16>0.2
+        (1, " ".join(["spam"] * 12) + " the of and in"),
+        # top token 'the' 5/17 ~ 0.294 > 0.2 but dup_frac 5/17... careful:
+        # distinct=13, dup=1-13/17~0.235<0.6 -> top_token_dominance only
+        (2, "the the the the the cat sat mat ran dog fox hen owl bat rat cow pig"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["reasons"], r["keep"]) for r in
+           quality_filter(df, max_dup_frac=0.6, max_top_frac=0.2).collect()}
+    assert out[0] == ("", True)
+    assert out[1] == ("high_dup,top_token_dominance", False)
+    assert out[2] == ("top_token_dominance", False)
+    # thresholds off -> pure projection, no repetition reasons
+    base = {r["doc_id"]: r["reasons"] for r in quality_filter(df).collect()}
+    assert base[1] == "" and base[2] == ""

@@ -212,36 +212,81 @@ def quality_filter(
     max_tokens: int = 5000,
     max_punct_ratio: float = 0.25,
     min_stopword_ratio: float = 0.01,
+    max_dup_frac: float | None = None,
+    max_top_frac: float | None = None,
 ) -> DataFrame:
     """(id, n_tokens, reasons, keep) per document.
 
     Rules (fixed order, so the reasons string is deterministic):
+      null_text     text IS NULL — short-circuits all other rules (a missing
+                    document is NOT clean; without this, every signal
+                    comparison is NULL and the doc would keep by default)
       too_short     n_tokens < min_tokens
       too_long      n_tokens > max_tokens
       high_punct    punct_ratio > max_punct_ratio
       low_stopword  stopword_ratio < min_stopword_ratio (stopword presence is
                     the classic natural-language-ness proxy; code dumps and
                     boilerplate fail it)
+    and, when ``max_dup_frac`` / ``max_top_frac`` are set (the Gopher
+    repetition gates, off by default to keep the base filter a pure
+    projection):
+      high_dup             dup_frac > max_dup_frac (1 - distinct/total
+                           whitespace tokens — boilerplate/spam signal)
+      top_token_dominance  top_frac > max_top_frac (most-frequent token's
+                           share of the doc)
+
     ``reasons`` is the comma-joined list of failed rules ('' = clean) and
     ``keep`` is reasons == '' — string-typed so the DuckDB oracle hash-compares
-    exactly. All signals are the same rounded expressions with_text_stats
-    exposes, so the filter thresholds see bit-identical values in both engines.
+    exactly. All signals are the same rounded expressions with_text_stats /
+    doc-repetition expose, so the filter thresholds see bit-identical values
+    in both engines.
+
+    Scale shape: the base rules are one projection over one scan. The
+    repetition rules add the two-level (doc,token)->doc hash aggregation and
+    a doc_id equi-join back — both keys uniform, both partial-aggregated
+    map-side; the join is co-partitioned on the id and adds one shuffle of
+    (id, 2 doubles). Null/empty texts produce no token rows, so their
+    dup_frac/top_frac are NULL and the repetition rules pass them through —
+    null_text/too_short already dropped them.
     """
     t = F.col(text_col)
     nt, pr, sr = token_count(t), punct_ratio(t), stopword_ratio(t)
+    base = df
+    use_rep = max_dup_frac is not None or max_top_frac is not None
+    if use_rep:
+        c = (
+            df.select(F.col(id_col), F.explode(F.split(ws_trim(t), WS_CLASS + "+")).alias("_tk"))
+            .groupBy(id_col, "_tk")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        rep = c.groupBy(id_col).agg(
+            F.round(F.lit(1) - F.count(F.lit(1)) / F.sum("_c"), 6).alias("_dup_frac"),
+            F.round(F.max("_c") / F.sum("_c"), 6).alias("_top_frac"),
+        )
+        base = df.join(rep, id_col, "left")
     rules = [
         ("too_short", nt < min_tokens),
         ("too_long", nt > max_tokens),
         ("high_punct", pr > max_punct_ratio),
         ("low_stopword", sr < min_stopword_ratio),
     ]
-    reasons = F.array_join(
-        F.array_compact(F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])),
-        ",",
+    if max_dup_frac is not None:
+        rules.append(("high_dup", F.col("_dup_frac") > max_dup_frac))
+    if max_top_frac is not None:
+        rules.append(("top_token_dominance", F.col("_top_frac") > max_top_frac))
+    # null_text SHORT-CIRCUITS: a missing document gets exactly one reason
+    # instead of whichever coalesced-signal rules happen to also fire (the
+    # engine coalesces ratios to 0.0 while a SQL twin leaves them NULL — only
+    # the short-circuit form has one unambiguous cross-engine answer)
+    reasons = F.when(t.isNull(), F.lit("null_text")).otherwise(
+        F.array_join(
+            F.array_compact(F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])),
+            ",",
+        )
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
-        nt.alias("n_tokens"),
+        F.coalesce(nt, F.lit(0)).alias("n_tokens"),
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
     )

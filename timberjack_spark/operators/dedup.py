@@ -537,23 +537,30 @@ def decontaminate_flags(
     whole-text membership (the shingles() short-doc contract).
 
     Scale shape: the eval corpus is benchmarks — orders of magnitude smaller
-    than the training corpus — so its distinct gram hashes (8 bytes each;
-    ~10^7 grams = 80 MB for a 10^5-doc eval suite) broadcast, and the
-    training side is ONE scan + explode + broadcast join + per-doc count.
-    Nothing shuffles on the corpus. For an unusually large eval set pass
-    ``use_broadcast=False`` and the join shuffles on the gram hash (uniform
-    key by construction). The left join at the end restores non-contaminated
-    docs with a 0 count — the output covers the whole training corpus, which
-    is what the downstream drop/keep filter consumes.
+    than the training corpus — so its distinct grams broadcast (~10^7 grams
+    x ~60 B of UTF-8 ≈ 600 MB for a 10^5-doc eval suite), and the training
+    side is ONE scan + explode + broadcast join + per-doc count. Nothing
+    shuffles on the corpus. The join key is the gram STRING, not a 64-bit
+    hash: with ~10^11-10^12 training grams against ~10^7 eval grams the
+    expected xxhash64 collision count approaches O(1), i.e. hash-matching
+    would flag a few clean documents per full-corpus run (and diverge from
+    any string-comparing oracle) — string equality keeps "exact by
+    construction" literally true, and once the set is broadcast the hash
+    saved little (the build side is a hash map either way; if broadcast
+    bytes ever matter, a 128-bit `unhex(md5(gram))` key cuts them ~4x at a
+    ~1e-20 collision bound). For an unusually large eval set pass
+    ``use_broadcast=False`` and the join shuffles on the gram string
+    (uniform key — Spark hash-partitions the string itself).
+    The left join at the end restores non-contaminated docs with a 0 count —
+    the output covers the whole training corpus, which is what the
+    downstream drop/keep filter consumes.
     """
     # null grams (a null-text doc shingles to [null]) are dropped on BOTH
-    # sides: xxhash64(null) returns the seed constant, so two null-text docs
-    # would otherwise "match" each other — and SQL `IN` semantics (the oracle)
-    # never match NULL. Null text carries no content to decontaminate against.
+    # sides: SQL `IN` semantics (the oracle) never match NULL, and null text
+    # carries no content to decontaminate against.
     g_eval = (
         eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("_g"))
         .filter(F.col("_g").isNotNull())
-        .select(F.xxhash64("_g").alias("_gh"))
         .distinct()
     )
     hint = F.broadcast if use_broadcast else (lambda x: x)
@@ -568,10 +575,9 @@ def decontaminate_flags(
             F.explode(shingles(F.col(text_col), n)).alias("_g"),
         )
         .filter(F.col("_g").isNotNull())
-        .select(id_col, F.xxhash64("_g").alias("_gh"))
     )
     hits = (
-        g_train.join(hint(g_eval), "_gh", "left_semi")
+        g_train.join(hint(g_eval), "_g", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_eval_grams_hit"))
     )

@@ -379,6 +379,21 @@ def run_stream_decontam_once(
     bounded by the number of contaminated docs. stream==batch contract: the
     output ids equal the batch decontaminate_flags rows with contaminated =
     true, which is the DuckDB-oracle statement.
+
+    State-growth contract: for a BOUNDED drain (availableNow, this helper)
+    the dropDuplicates state is exactly the contaminated-id set and is
+    discarded when the query finishes — fine. A CONTINUOUS deployment must
+    not keep that state forever: migrate to
+
+        src.withWatermark("event_time", "24 hours")
+           ... same explode/semi-join ...
+           .dropDuplicatesWithinWatermark(["doc_id"])
+
+    which evicts each doc_id's dedup entry once the watermark passes it
+    (docs are emitted at-most-once per watermark window instead of per query
+    lifetime — the right trade when the upstream writer only ever repeats a
+    doc within a bounded replay horizon). Mirrors the complete-vs-append
+    discussion in run_stream_session_windows_once.
     """
     from ..operators.dedup import _ensure_parallelism, shingles
 
@@ -389,11 +404,13 @@ def run_stream_decontam_once(
     # expensive part — localCheckpoint turns every per-batch broadcast build
     # into a read of the tiny materialized hash set (measured 9.0 -> ~3 s at
     # sf0.1). _ensure_parallelism spreads the one-time build itself.
+    # gram STRINGS, not 64-bit hashes, as the join key — same exactness
+    # argument as batch decontaminate_flags (hash collisions against a
+    # 10^11+-gram corpus approach O(1) false flags)
     g_eval = (
         _ensure_parallelism(eval_df.select("text"))
         .select(F.explode(shingles(F.col("text"), n)).alias("_g"))
         .filter(F.col("_g").isNotNull())
-        .select(F.xxhash64("_g").alias("_gh"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -406,10 +423,9 @@ def run_stream_decontam_once(
         src.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(shingles(F.col("text"), n)).alias("_g"))
         .filter(F.col("_g").isNotNull())
-        .select("doc_id", F.xxhash64("_g").alias("_gh"))
     )
     contaminated = (
-        g_doc.join(F.broadcast(g_eval), "_gh", "left_semi")
+        g_doc.join(F.broadcast(g_eval), "_g", "left_semi")
         .select("doc_id")
         .dropDuplicates(["doc_id"])
     )
