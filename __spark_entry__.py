@@ -683,6 +683,21 @@ def _q_audio_features(spark, sf_dir):
     )
 
 
+def _q_video_features(spark, sf_dir):
+    """REAL video decode: genuine YUV4MPEG2 containers (the one mainstream
+    codec-free video container — ASCII header + FRAME-delimited raw C444
+    planes) demuxed and decoded with pure numpy. The oracle knows width,
+    height, frame count, plane means and inter-frame motion closed-form from
+    the id, so the demuxer must actually walk the container to match."""
+    from timberjack_spark.operators.multimodal import (
+        extract_video_features,
+        synthesize_video_media,
+    )
+
+    d = _tbl(spark, sf_dir, "documents")
+    return extract_video_features(synthesize_video_media(d))
+
+
 def _q_image_features(spark, sf_dir):
     """REAL image decode: binary P6 PPM payloads parsed with pure numpy."""
     from timberjack_spark.operators.multimodal import (
@@ -782,66 +797,16 @@ def _q_stream_decontam(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's adjudication order and its correctness gate
     # checks the FIRST 50 entries. Never-yet-adjudicated and least-recently
-    # adjudicated entries therefore lead; the tail carries queries with the
-    # longest green history (the TPC-H-ish batch, green r01+r02+r03) so every
-    # operator family keeps a fresh CORRECTNESS row. (VERDICT r03 ask #1.)
+    # adjudicated entries therefore lead — in r05 that is the two NEW queries
+    # plus the 11 entries whose last driver check was r03 — and the 13-entry
+    # tail carries the most-stable core queries (green r01..r04), so no
+    # entry's green history is ever older than the previous round.
+    # (VERDICT r03 ask #1 / r04 ask #5: every entry green in rounds N-1 ∪ N.)
     return {
-        # -- new / never driver-adjudicated --
-        "s_stream_session_windows": _q_stream_session_windows,  # NEW r04
-        "e_cosine_pairs": _q_cosine_pairs,        # oracle: exact all-pairs cosine (recall pinned)
-        "s_stream_dedup_msgs": _q_stream_dedup,
-        # -- last adjudicated r02 --
-        "d_bpe_tokens": _q_bpe_tokens,
-        "e_centroid_assign": _q_centroid_assign,
-        "e_ivf_topk": _q_ivf_topk,                # oracle: IVF semantics in SQL
-        "s_stream_level_counts": _q_stream_level_counts,
-        "s_stream_conv_sessions": _q_stream_conv_sessions,
-        # -- new r04 operator --
-        "d_contam_flags": _q_contam_flags,        # exact 8-gram eval-overlap decontamination
-        "d_quality_filter": _q_quality_filter,    # keep/drop + reasons (pure projection)
-        "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules (NEW r05)
-        "s_stream_decontam": _q_stream_decontam,  # stream-static decontamination drain
-        # -- core operator inventory (adjudicated r03) --
-        "t_total_count_error": _q_total_count_error,
-        "t_level_histogram": _q_level_histogram,
-        "t_trend_histogram": _q_trend_histogram,
-        "t_error_types": _q_error_types,
-        "t_top_errors": _q_top_errors,
-        "t_message_stats": _q_message_stats,
-        "t_unique_messages": _q_unique_messages,
-        "t_level_filter": _q_level_filter,
-        "t_pattern_regex": _q_pattern_regex,
-        "t_field_filter_service": _q_field_filter_service,
-        "t_field_filter_nested": _q_field_filter_nested,
-        "t_field_histogram": _q_field_histogram,
-        "t_line_counts": _q_line_counts,
-        "t_matched_sample": _q_matched_sample,
-        "t_route_sink_counts": _q_route_sink_counts,
-        "t_enrich_rollup": _q_enrich_rollup,
-        "t_turn_ordering": _q_turn_ordering,
-        "t_level_histogram_grok": _q_level_histogram_grok,
-        "t_salted_conv_counts": _q_salted_conv_counts,
-        "t_redacted_lines": _q_redacted_lines,
-        "q_session_windows": _q_session_windows,
-        "q_events_asof_click": _q_events_asof_click,
-        "q_events_range_ctx": _q_events_range_ctx,
-        "d_doc_dedup_stats": _q_doc_dedup_stats,
-        "d_doc_token_stats": _q_doc_token_stats,
-        "d_text_stats": _q_text_stats,
-        "d_doc_fingerprint": _q_doc_fingerprint,
-        "d_doc_repetition": _q_doc_repetition,
-        "d_top_terms": _q_top_terms,
-        "d_exact_dedup": _q_exact_dedup,
-        "d_jaccard_pairs": _q_jaccard_pairs,
-        "d_minhash_pairs": _q_minhash_pairs,      # oracle: exact all-pairs (recall pinned)
-        "d_simhash_pairs": _q_simhash_pairs,      # oracle: exact all-pairs (recall pinned)
-        "e_brute_topk": _q_brute_topk,
-        "e_lsh_topk": _q_lsh_topk,                # oracle: exact top-k (recall pinned)
-        "e_label_centroids": _q_label_centroids,
-        "m_media_features": _q_media_features,
-        "m_audio_features": _q_audio_features,
-        "m_image_features": _q_image_features,
-        # -- rotation tail: longest green history (r01+r02+r03) --
+        # -- NEW r05: never driver-adjudicated --
+        "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
+        "m_video_features": _q_video_features,    # REAL Y4M demux/decode
+        # -- rotated IN (last adjudicated r03; green r01+r02+r03) --
         "q_events_quantiles": _q_events_quantiles,
         "t_conv_stats": _q_conv_stats,
         "t_hourly_level_matrix": _q_hourly_level_matrix,
@@ -853,6 +818,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_rollup": _q_orders_rollup,
         "q_lineitem_running": _q_lineitem_running,
         "q_mktsegment_pivot": _q_mktsegment_pivot,
+        # -- adjudicated r04 (operators changed this round lead) --
+        "d_quality_filter": _q_quality_filter,    # keep/drop + reasons (null_text new)
+        "d_contam_flags": _q_contam_flags,        # string-keyed 8-gram decontamination
+        "s_stream_decontam": _q_stream_decontam,  # stream-static decontamination drain
+        "d_doc_token_stats": _q_doc_token_stats,  # ws_trim unification r05
+        "d_doc_repetition": _q_doc_repetition,    # ws_trim unification r05
+        "d_top_terms": _q_top_terms,              # ws_trim unification r05
+        "d_jaccard_pairs": _q_jaccard_pairs,
+        "s_stream_session_windows": _q_stream_session_windows,
+        "e_cosine_pairs": _q_cosine_pairs,        # oracle: exact all-pairs cosine (recall pinned)
+        "s_stream_dedup_msgs": _q_stream_dedup,
+        "d_bpe_tokens": _q_bpe_tokens,
+        "e_centroid_assign": _q_centroid_assign,
+        "e_ivf_topk": _q_ivf_topk,                # oracle: IVF semantics in SQL
+        "s_stream_level_counts": _q_stream_level_counts,
+        "s_stream_conv_sessions": _q_stream_conv_sessions,
+        "t_field_histogram": _q_field_histogram,
+        "t_route_sink_counts": _q_route_sink_counts,
+        "t_enrich_rollup": _q_enrich_rollup,
+        "t_turn_ordering": _q_turn_ordering,
+        "t_level_histogram_grok": _q_level_histogram_grok,
+        "t_salted_conv_counts": _q_salted_conv_counts,
+        "t_redacted_lines": _q_redacted_lines,
+        "q_session_windows": _q_session_windows,
+        "q_events_asof_click": _q_events_asof_click,
+        "q_events_range_ctx": _q_events_range_ctx,
+        "d_doc_dedup_stats": _q_doc_dedup_stats,
+        "d_text_stats": _q_text_stats,
+        "d_doc_fingerprint": _q_doc_fingerprint,
+        "d_exact_dedup": _q_exact_dedup,
+        "d_minhash_pairs": _q_minhash_pairs,      # oracle: exact all-pairs (recall pinned)
+        "d_simhash_pairs": _q_simhash_pairs,      # oracle: exact all-pairs (recall pinned)
+        "e_brute_topk": _q_brute_topk,
+        "e_lsh_topk": _q_lsh_topk,                # oracle: exact top-k (recall pinned)
+        "e_label_centroids": _q_label_centroids,
+        "m_media_features": _q_media_features,
+        "m_audio_features": _q_audio_features,
+        "m_image_features": _q_image_features,
+        # -- rotation tail (13): green r01..r04, the most-stable core t_* --
+        "t_total_count_error": _q_total_count_error,
+        "t_level_histogram": _q_level_histogram,
+        "t_trend_histogram": _q_trend_histogram,
+        "t_error_types": _q_error_types,
+        "t_top_errors": _q_top_errors,
+        "t_message_stats": _q_message_stats,
+        "t_unique_messages": _q_unique_messages,
+        "t_level_filter": _q_level_filter,
+        "t_pattern_regex": _q_pattern_regex,
+        "t_field_filter_service": _q_field_filter_service,
+        "t_field_filter_nested": _q_field_filter_nested,
+        "t_line_counts": _q_line_counts,
+        "t_matched_sample": _q_matched_sample,
     }
 
 
@@ -1395,6 +1412,21 @@ def _oracle_sql_base() -> dict[str, str]:
             (doc_id * 37 % 256)::DOUBLE AS mean_r,
             (doc_id * 59 % 256)::DOUBLE AS mean_g,
             (doc_id * 83 % 256)::DOUBLE AS mean_b
+            FROM documents""",
+        # closed-form twin of the Y4M synthesis params (_y4m_params_vec):
+        # frame t's constant luma plane is (y0 + t*dy) % 256, chroma u0/v0
+        "m_video_features": """SELECT doc_id AS media_id,
+            (16 + doc_id % 16)::BIGINT AS width,
+            (16 + doc_id % 9)::BIGINT AS height,
+            (2 + doc_id % 6)::BIGINT AS n_frames,
+            25.0 AS fps,
+            list_aggregate(list_transform(range(0, 2 + doc_id % 6),
+                t -> ((doc_id * 41 % 256) + t * (1 + doc_id * 17 % 32)) % 256), 'avg') AS mean_y,
+            (doc_id * 59 % 256)::DOUBLE AS mean_u,
+            (doc_id * 83 % 256)::DOUBLE AS mean_v,
+            list_aggregate(list_transform(range(1, 2 + doc_id % 6),
+                t -> abs((((doc_id * 41 % 256) + t * (1 + doc_id * 17 % 32)) % 256)
+                       - (((doc_id * 41 % 256) + (t - 1) * (1 + doc_id * 17 % 32)) % 256))), 'avg') AS motion
             FROM documents""",
         "m_media_features": """SELECT doc_id AS media_id,
             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -208,3 +208,50 @@ def test_decontaminate_flags_exact(spark):
     assert out[2] == (1, True)
     assert out[3] == (0, False)
     assert len(out) == 4  # the left join restores every training doc
+
+
+def test_bucket_cap_metrics_surface_drops(spark):
+    """No-silent-caps (VERDICT r04 ask #8): on a degenerate corpus where one
+    template collapses everything into hot buckets, a max_bucket_size cap
+    must report how many buckets/candidate-pairs it dropped — cap_metrics={}
+    is filled eagerly by all three LSH operators (minhash rides sentinels
+    through its candidate checkpoint; simhash/cosine run a dedicated metrics
+    job, since AQE empty-relation propagation elides observe() nodes exactly
+    when the cap drops everything)."""
+    from timberjack_spark.operators.dedup import simhash_near_dups
+    from timberjack_spark.operators.similarity import cosine_near_dup_pairs
+
+    # 40 identical docs -> every band bucket has all 40 members
+    degenerate = spark.createDataFrame(
+        [(i, "all work and no play makes jack a dull boy " * 3) for i in range(40)],
+        "doc_id long, text string",
+    )
+    m: dict = {}
+    out = minhash_near_dups(degenerate, threshold=0.5, max_bucket_size=10, cap_metrics=m)
+    # 16 bands x 1 bucket each, all size 40 > 10 -> every candidate dropped
+    assert m == {"buckets_dropped": 16, "pairs_dropped": 16 * (40 * 39) // 2}
+    assert out.count() == 0
+    # with the cap above the bucket size, nothing is dropped
+    m2: dict = {}
+    out2 = minhash_near_dups(degenerate, threshold=0.5, max_bucket_size=100, cap_metrics=m2)
+    assert m2 == {"buckets_dropped": 0, "pairs_dropped": 0}
+    assert out2.count() == (40 * 39) // 2  # all identical -> all pairs
+
+    # simhash: identical docs -> identical signature -> 9 hot blocks of 40
+    sm: dict = {}
+    s_out = simhash_near_dups(degenerate, max_hamming=8, max_bucket_size=10, cap_metrics=sm)
+    assert sm["buckets_dropped"] == 9  # max_hamming+1 bit-blocks
+    assert sm["pairs_dropped"] == 9 * (40 * 39) // 2
+    assert s_out.count() == 0
+
+    # cosine LSH: identical vectors share every table bucket
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    cm: dict = {}
+    c_out = cosine_near_dup_pairs(
+        vecs, threshold=0.9, dim=4, n_tables=4, bits_per_table=4,
+        max_bucket_size=5, cap_metrics=cm,
+    )
+    assert cm["buckets_dropped"] == 4 and cm["pairs_dropped"] == 4 * (20 * 19) // 2
+    assert c_out.count() == 0

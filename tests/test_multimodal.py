@@ -52,11 +52,54 @@ def test_feature_extraction_deterministic(spark, media):
         assert all(abs(a - b) < 1e-7 for a, b in zip(r["feature"], expected))
 
 
-def test_video_decode_raises_clearly(media):
-    with pytest.raises(NotImplementedError, match="ffmpeg/cv2"):
+def test_video_decode_rejects_non_y4m(media):
+    """The REAL decoder rejects undecodable payloads loudly (codec'd
+    containers need ffmpeg, out of scope) — no silent fake features."""
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
         decode_video(b"\x00fake container")
-    with pytest.raises(Exception, match="(?i)notimplemented|ffmpeg/cv2"):
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        # generic media payloads are text stand-ins, not Y4M containers
         extract_features(media, real_decode=True).limit(1).collect()
+
+
+def test_y4m_roundtrip_local():
+    from timberjack_spark.operators.multimodal import (
+        _y4m_params_vec,
+        y4m_bytes,
+        y4m_bytes_batch,
+    )
+    import numpy as np
+
+    ids = np.array([0, 7, 42, 255, 1001])
+    ws, hs, nfs, y0s, dys, u0s, v0s = _y4m_params_vec(ids)
+    batch = y4m_bytes_batch(ids)
+    for i, mid in enumerate(ids):
+        payload = y4m_bytes(int(mid))
+        assert payload == batch[i]  # per-row and batch synthesis byte-equal
+        got = decode_video(payload)
+        assert (got["width"], got["height"], got["n_frames"]) == (ws[i], hs[i], nfs[i])
+        assert got["fps"] == 25.0
+        frames = [(int(y0s[i]) + t * int(dys[i])) % 256 for t in range(int(nfs[i]))]
+        assert got["mean_y"] == sum(frames) / len(frames)
+        assert got["mean_u"] == u0s[i] and got["mean_v"] == v0s[i]
+        diffs = [abs(frames[t] - frames[t - 1]) for t in range(1, len(frames))]
+        assert got["motion"] == sum(diffs) / len(diffs)
+
+
+def test_y4m_decode_edge_cases():
+    # unsupported chroma mode rejected, not silently mis-sliced
+    with pytest.raises(ValueError, match="C420"):
+        decode_video(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\nFRAME\n" + b"\x00" * 24)
+    # truncated frame data rejected
+    with pytest.raises(ValueError, match="truncated"):
+        decode_video(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\nFRAME\n" + b"\x00" * 10)
+    # frame-level parameters after the FRAME marker are tolerated (spec allows them)
+    ok = b"YUV4MPEG2 W2 H2 F30:1 C444\nFRAME Ixyz\n" + bytes([9] * 4 + [5] * 4 + [7] * 4)
+    got = decode_video(ok)
+    assert got == {
+        "width": 2, "height": 2, "n_frames": 1, "fps": 30.0,
+        "mean_y": 9.0, "mean_u": 5.0, "mean_v": 7.0, "motion": 0.0,
+    }
 
 
 def test_feature_count_conserved(media):

@@ -153,6 +153,32 @@ def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 42):
     return sig
 
 
+def _collect_cap_metrics(buckets: DataFrame, members_col: str, cap: int) -> dict:
+    """Drop metrics for a bucket-size cap (the repo's no-silent-caps rule):
+    ``buckets_dropped`` (buckets over the cap) and ``pairs_dropped`` (the
+    m(m-1)/2 candidate pairs those buckets would have exploded into — an
+    upper bound on lost candidates, since dropped pairs may co-occur in a
+    surviving bucket).
+
+    Runs as its own aggregation job over the bucket subtree, i.e. one extra
+    pass of the signature stage when requested. The free-riding alternatives
+    both lose the metrics exactly when they matter: an ``observe()`` node is
+    eliminated by AQE's empty-relation propagation when the cap drops EVERY
+    bucket (measured: toPyRow assertion on .get), and it is never delivered
+    when a localCheckpoint materializes the subtree via an RDD job. An
+    explicit job is unconditionally correct; diagnostics are opt-in.
+    """
+    sz = F.size(members_col)
+    row = buckets.agg(
+        F.coalesce(F.sum(F.when(sz > cap, F.lit(1))), F.lit(0)).alias("buckets_dropped"),
+        F.coalesce(
+            F.sum(F.when(sz > cap, (sz.cast("long") * (sz - 1) / 2).cast("long"))),
+            F.lit(0).cast("long"),
+        ).alias("pairs_dropped"),
+    ).collect()[0]
+    return {"buckets_dropped": row["buckets_dropped"], "pairs_dropped": row["pairs_dropped"]}
+
+
 def _bucket_pairs(grouped: DataFrame, members_col: str = "ids") -> DataFrame:
     """Explode a sorted bucket-member array into its (a, b) pairs, a < b.
 
@@ -182,6 +208,7 @@ def minhash_near_dups(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    cap_metrics: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH with exact-Jaccard verify.
 
@@ -202,6 +229,18 @@ def minhash_near_dups(
     is far above any honest near-dup cluster in the tuned-band regime; a
     bucket past it means the banding is mis-tuned for the corpus). Dropped
     buckets cost recall only for pairs co-occurring NOWHERE but a hot bucket.
+
+    No silent caps: pass ``cap_metrics={}`` and the call fills it with
+    ``buckets_dropped`` / ``pairs_dropped`` (m(m-1)/2 per dropped bucket).
+    Unlike simhash/cosine (which pay a dedicated metrics job — see
+    _collect_cap_metrics), minhash gets the metrics FREE: each dropped
+    bucket substitutes its member array with a 2-element sentinel [-m, bucket_hash]
+    — the pair explode turns that into exactly one (negative, hash) row that
+    rides the SAME single pass into the eagerly-materialized candidate
+    checkpoint, where a filter over the materialized blocks (no recompute)
+    extracts the counts and strips the sentinels before the verify joins.
+    Requires nonnegative ``id_col`` values (negative ids are the sentinel
+    namespace) — true of every fixture and of content-hash ids at scale.
     """
     r = k // bands
     sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
@@ -225,12 +264,32 @@ def minhash_near_dups(
         .filter(F.size("ids") >= 2)
     )
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+        sz = F.size("ids")
+        if cap_metrics is not None:
+            buckets = buckets.withColumn(
+                "ids",
+                F.when(sz <= max_bucket_size, F.col("ids")).otherwise(
+                    F.array((-sz).cast("long"), F.col("bucket"))
+                ),
+            )
+        else:
+            buckets = buckets.filter(sz <= max_bucket_size)
     candidates = (
         _bucket_pairs(buckets, "ids")
         .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .distinct()
     )
+    if max_bucket_size is not None and cap_metrics is not None:
+        # materialize once; the sentinel extraction and the verify both read
+        # the checkpointed blocks (verify's own lazy checkpoint of the
+        # filtered plan re-reads the RDD, not the bucket pipeline)
+        candidates = candidates.localCheckpoint(eager=False)
+        sent = candidates.filter(F.col("id_a") < 0).collect()
+        cap_metrics["buckets_dropped"] = len(sent)
+        cap_metrics["pairs_dropped"] = sum(
+            (-r["id_a"]) * (-r["id_a"] - 1) // 2 for r in sent
+        )
+        candidates = candidates.filter(F.col("id_a") >= 0)
     return exact_jaccard_verify(df, candidates, text_col, id_col, n, threshold)
 
 
@@ -406,6 +465,7 @@ def simhash_near_dups(
     max_hamming: int = 8,
     max_bucket_size: int | None = None,
     n: int = 1,
+    cap_metrics: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) by simhash hamming distance.
 
@@ -423,7 +483,10 @@ def simhash_near_dups(
     corpora (template-generated docs collapse into a few hot buckets). Capped
     buckets cost recall for pairs ONLY co-occurring in hot buckets; the
     default None keeps the docstring's recall guarantee — scale deployments
-    opt into an explicit cap.
+    opt into an explicit cap. No silent caps: pass ``cap_metrics={}`` and
+    the call fills it with buckets_dropped / pairs_dropped eagerly (one
+    dedicated metrics job — see _collect_cap_metrics for why observed SQL
+    metrics are not usable here).
     """
     # single-scan candidate generation (see _bucket_pairs): the signature UDF
     # is referenced once, so no eager checkpoint is needed, the bucket
@@ -447,6 +510,8 @@ def simhash_near_dups(
         .filter(F.size("ms") >= 2)
     )
     if max_bucket_size is not None:
+        if cap_metrics is not None:
+            cap_metrics.update(_collect_cap_metrics(buckets, "ms", max_bucket_size))
         buckets = buckets.filter(F.size("ms") <= max_bucket_size)
     pairs = (
         _bucket_pairs(buckets, "ms")
@@ -480,29 +545,43 @@ def ngram_jaccard_pairs(
     length bucket). Quadratic ONLY within a block — block sizing is the
     caller's scale contract.
 
+    Same single-scan candidate-generation shape as the LSH operators
+    (_bucket_pairs): ONE scan computes each doc's shingle array once, one
+    groupBy(block) collects the sorted (id, shingles) structs, and the
+    in-block pair explode emits ordered pairs JVM-side. The round-2..4
+    two-sided self-join referenced the base plan twice, so every interpreted
+    shingle expression evaluated TWICE and the equi-join shuffled two full
+    streams; this halves both. A block's members must fit one task's memory —
+    identical to before (the self-join also sent each block to one reducer),
+    and exactly the small-block regime this operator contracts for.
+
     _ensure_parallelism: the shingle arrays are interpreted higher-order
     expressions evaluated BELOW the block-key exchange, i.e. on the scan's
     partitioning — a small single-file corpus would compute every shingle
-    array (twice: once per join side) on ONE core. Measured at sf0.1:
-    126 s -> 6 s. No-op at real scale.
+    array on ONE core. Measured at sf0.1: 126 s -> 6 s. No-op at real scale.
     """
     base = _ensure_parallelism(df).select(
         *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), n).alias("_sh"),
+        # id FIRST: array_sort orders structs field-by-field, so members sort
+        # by id and the pair explode emits id_a < id_b by construction
+        F.struct(
+            F.col(id_col).alias("i"), shingles(F.col(text_col), n).alias("s")
+        ).alias("_m"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    blocks = (
+        base.groupBy(*block_cols)
+        .agg(F.array_sort(F.collect_list("_m")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
     return (
-        a.join(b, on)
-        .filter(F.col("a._id") < F.col("b._id"))
+        _bucket_pairs(blocks, "ms")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
+            F.col("_a.i").alias("id_a"),
+            F.col("_b.i").alias("id_b"),
             F.round(
                 F.try_divide(
-                    F.size(F.array_intersect("a._sh", "b._sh")),
-                    F.size(F.array_union("a._sh", "b._sh")),
+                    F.size(F.array_intersect("_a.s", "_b.s")),
+                    F.size(F.array_union("_a.s", "_b.s")),
                 ),
                 6,
             ).alias("jaccard"),

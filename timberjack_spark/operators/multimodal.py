@@ -14,9 +14,13 @@ Decode status per modality:
   reproduce them.
 * **image — REAL.** Payloads are binary P6 PPM images (header + raw RGB);
   decoded with a pure-numpy parser into dimensions + channel means.
-* **video — STUBBED.** A container demuxer genuinely is not installable here;
-  ``decode_video`` raises ``NotImplementedError`` and the digest-based fake
-  keeps the plumbing testable.
+* **video — REAL.** Payloads are genuine YUV4MPEG2 (Y4M) containers — the
+  one mainstream video container with NO codec (plain-text header + raw
+  frame planes), so a pure-numpy demux/decode is honest: ``decode_video``
+  parses the header tags (W/H/F/C), walks the FRAME markers, reads the raw
+  C444 planes, and measures luma/chroma means plus inter-frame motion. The
+  synthesis parameters are a pure function of the id, so the SQL oracle
+  verifies every decoded value closed-form.
 """
 
 from __future__ import annotations
@@ -72,12 +76,161 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def decode_video(payload: bytes) -> "np.ndarray":
-    """REAL DECODE STUB: requires a container demuxer (ffmpeg/cv2), absent
-    here; use fake_features() for plumbing tests."""
-    raise NotImplementedError(
-        "video decoding requires ffmpeg/cv2 which are not installed in this environment"
-    )
+# ---------------------------------------------------------------------------
+# REAL video: YUV4MPEG2 (Y4M) synthesis + pure-numpy demux/decode
+#
+# Y4M is the raw-video interchange format (mjpegtools/ffmpeg lingua franca):
+# an ASCII header line "YUV4MPEG2 W.. H.. F..:.. Ip A1:1 C444\n" followed by
+# frames, each "FRAME\n" + raw planes. No codec — which is exactly why a
+# REAL decoder is implementable here without ffmpeg, the same way audio uses
+# WAV and image uses P6 PPM.
+# ---------------------------------------------------------------------------
+
+VIDEO_FPS = 25
+
+
+def _y4m_params_vec(ids: "np.ndarray"):
+    """(w, h, n_frames, y0, dy, u0, v0) arrays as pure functions of the ids —
+    frame t has a constant luma plane (y0 + t*dy) % 256 and constant u0/v0
+    chroma, so the oracle knows mean_y / mean_u / mean_v / motion closed-form.
+    SINGLE SOURCE for the per-row and batch synthesis paths (pytest pins
+    them byte-equal, same contract as _wav_params_vec/_ppm_params_vec)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    w = 16 + ids % 16
+    h = 16 + ids % 9
+    nf = 2 + ids % 6
+    y0 = ids * 41 % 256
+    dy = 1 + ids * 17 % 32
+    u0 = ids * 59 % 256
+    v0 = ids * 83 % 256
+    return w, h, nf, y0, dy, u0, v0
+
+
+def y4m_bytes(media_id: int) -> bytes:
+    """A genuine YUV4MPEG2 container: header + FRAME-delimited raw C444
+    planes (solid planes — the container/demux contract is what matters)."""
+    w, h, nf, y0, dy, u0, v0 = (int(a[0]) for a in _y4m_params_vec(np.array([media_id])))
+    plane = w * h
+    parts = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, VIDEO_FPS)]
+    for t in range(nf):
+        parts.append(b"FRAME\n")
+        parts.append(bytes(((y0 + t * dy) % 256,)) * plane)
+        parts.append(bytes((u0,)) * plane)
+        parts.append(bytes((v0,)) * plane)
+    return b"".join(parts)
+
+
+def y4m_bytes_batch(media_ids: "np.ndarray") -> list[bytes]:
+    """Batch twin of :func:`y4m_bytes`: params from one numpy pass; each
+    plane is a single C-level ``bytes * n`` repeat (no per-pixel work)."""
+    ws, hs, nfs, y0s, dys, u0s, v0s = _y4m_params_vec(media_ids)
+    out = []
+    for w, h, nf, y0, dy, u0, v0 in zip(ws, hs, nfs, y0s, dys, u0s, v0s):
+        plane = int(w * h)
+        parts = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, VIDEO_FPS)]
+        for t in range(nf):
+            parts.append(b"FRAME\n")
+            parts.append(bytes((int(y0 + t * dy) % 256,)) * plane)
+            parts.append(bytes((int(u0),)) * plane)
+            parts.append(bytes((int(v0),)) * plane)
+        out.append(b"".join(parts))
+    return out
+
+
+def decode_video(payload: bytes) -> dict:
+    """REAL Y4M demux + decode, pure numpy: parse the header tags, walk the
+    FRAME markers, read raw C444 planes, measure means + inter-frame motion
+    (mean |delta luma| between consecutive frames — 0.0 for a single frame).
+    Raises ValueError on anything that is not an uncompressed C444 Y4M —
+    codec'd containers (mp4/webm) genuinely need ffmpeg and are out of scope.
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 (Y4M) payload")
+    nl = payload.index(b"\n")
+    w = h = 0
+    fps = 0.0
+    chroma = "420"  # Y4M default when the C tag is absent
+    for tag in payload[9:nl].decode("ascii").split():
+        if tag[0] == "W":
+            w = int(tag[1:])
+        elif tag[0] == "H":
+            h = int(tag[1:])
+        elif tag[0] == "F":
+            num, den = tag[1:].split(":")
+            fps = int(num) / int(den)
+        elif tag[0] == "C":
+            chroma = tag[1:]
+    if chroma != "444":
+        raise ValueError(f"unsupported chroma subsampling C{chroma} (only C444)")
+    if w <= 0 or h <= 0:
+        raise ValueError("missing W/H header tags")
+    plane = w * h
+    idx = nl + 1
+    ys: list[np.ndarray] = []
+    us: list[np.ndarray] = []
+    vs: list[np.ndarray] = []
+    while idx < len(payload):
+        fnl = payload.index(b"\n", idx)
+        if payload[idx : idx + 5] != b"FRAME":
+            raise ValueError("malformed Y4M: expected FRAME marker")
+        idx = fnl + 1
+        if idx + 3 * plane > len(payload):
+            raise ValueError("truncated Y4M frame")
+        ys.append(np.frombuffer(payload, np.uint8, plane, idx))
+        us.append(np.frombuffer(payload, np.uint8, plane, idx + plane))
+        vs.append(np.frombuffer(payload, np.uint8, plane, idx + 2 * plane))
+        idx += 3 * plane
+    Y = np.stack(ys).astype(np.float64)
+    motion = float(np.abs(np.diff(Y, axis=0)).mean()) if len(ys) > 1 else 0.0
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(ys),
+        "fps": fps,
+        "mean_y": float(Y.mean()),
+        "mean_u": float(np.stack(us).mean()),
+        "mean_v": float(np.stack(vs).mean()),
+        "motion": motion,
+    }
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "media_id long, width long, height long, n_frames long, fps double, "
+    "mean_y double, mean_u double, mean_v double, motion double"
+)
+
+
+def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): real Y4M bytes per row, built Arrow-batch-wise."""
+    from .dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(df.select(F.col(id_col).cast("long").alias("media_id")))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": y4m_bytes_batch(pdf["media_id"].to_numpy()),
+                }
+            )
+
+    return base.mapInPandas(gen, "media_id long, payload binary")
+
+
+def extract_video_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: Y4M container -> frame/plane features.
+    The per-payload demux walk is inherently sequential (variable-length
+    FRAME headers) but cheap; the plane math is numpy per payload."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [decode_video(p) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(batches, VIDEO_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -365,15 +518,22 @@ def extract_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
     ``mapInPandas`` streams record batches; each batch is processed with
-    numpy/hashlib (vectorized per batch, no per-row Spark UDF). Set
-    ``real_decode=True`` once codecs exist — the stub raises loudly.
+    numpy/hashlib (vectorized per batch, no per-row Spark UDF). The default
+    digest features treat payloads as opaque; ``real_decode=True`` routes
+    every payload through the REAL Y4M video decoder instead, which raises
+    ValueError loudly on anything that is not an uncompressed Y4M container
+    (this generic table's stand-in payloads are text bytes — per-modality
+    REAL decoding lives in extract_{audio,image,video}_features over the
+    matching synthesize_* tables).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
             if real_decode:
-                feats = [decode_video(p) for p in payloads]  # NotImplementedError by design
+                # ValueError for non-Y4M payloads by design: silent fake
+                # features for an undecodable container would be the worse bug
+                feats = [list(decode_video(p).values()) for p in payloads]
             else:
                 feats = [fake_features(p).tolist() for p in payloads]
             yield pd.DataFrame(

@@ -284,6 +284,7 @@ def cosine_near_dup_pairs(
     bits_per_table: int = 10,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    cap_metrics: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= threshold, LSH-blocked.
 
@@ -308,7 +309,13 @@ def cosine_near_dup_pairs(
     )
     if max_bucket_size is not None:
         # hot-bucket guard (see dedup.minhash_near_dups): a bucket of m
-        # members pair-explodes m(m-1)/2 rows in one task
+        # members pair-explodes m(m-1)/2 rows in one task. No silent caps:
+        # cap_metrics={} gets the dropped-bucket/-pair counts (eager job,
+        # see dedup._collect_cap_metrics)
+        if cap_metrics is not None:
+            from .dedup import _collect_cap_metrics
+
+            cap_metrics.update(_collect_cap_metrics(buckets, "ids", max_bucket_size))
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     cand = (
         _bucket_pairs(buckets, "ids")
