@@ -569,6 +569,20 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_near_dups(d, threshold=0.5, bands=32, max_bucket_size=10_000)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering (connected components over the minhash
+    pair graph): every doc labeled with min-id of its cluster, singletons
+    included — the keep-one-representative decision (`doc_id == cluster_id`)
+    a C4/RefinedWeb-style dedup pipeline executes after pairwise detection.
+    Iterative min-label propagation + pointer jumping on the pair-endpoint
+    subgraph only; oracle is the exact all-pairs graph's transitive closure
+    via a recursive CTE (engine pair recall == exact is pinned separately)."""
+    from timberjack_spark.operators.dedup import near_dup_clusters
+
+    d = _tbl(spark, sf_dir, "documents")
+    return near_dup_clusters(d, threshold=0.5, bands=32, max_bucket_size=10_000)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from timberjack_spark.operators.dedup import exact_jaccard_verify, simhash_near_dups
 
@@ -806,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW r05: never driver-adjudicated --
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
+        "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
         # -- rotated IN (last adjudicated r03; green r01+r02+r03) --
         "q_events_quantiles": _q_events_quantiles,
         "t_conv_stats": _q_conv_stats,
@@ -945,6 +960,37 @@ def _allpairs_jaccard_sql(threshold: float = 0.5) -> str:
                    len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
       FROM base a JOIN base b ON a.doc_id < b.doc_id)
     WHERE jaccard >= {threshold}"""
+
+
+def _dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """Transitive closure of the exact all-pairs near-dup graph (same shingle
+    CTEs as _allpairs_jaccard_sql) via a recursive CTE; cluster = min
+    reachable id; docs in no pair are their own singleton."""
+    return rf"""WITH RECURSIVE toks AS (
+      SELECT doc_id, text, regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk
+      FROM documents),
+    base AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) - 2 >= 1
+             THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+             ELSE [lower({_TRIMT})] END AS sh
+      FROM toks),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh)) /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM base a JOIN base b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= {threshold}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.node = e.b)
+    SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY node"""
 
 
 _BRUTE_TOPK_SQL = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1317,6 +1363,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "d_exact_dedup": """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
         "d_jaccard_pairs": _jaccard_pairs_sql(),
         "d_minhash_pairs": _allpairs_jaccard_sql(0.5),
+        "d_dedup_clusters": _dedup_clusters_sql(0.5),
         "d_simhash_pairs": _allpairs_jaccard_sql(0.5),
         "e_cosine_pairs": """WITH base AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

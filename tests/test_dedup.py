@@ -255,3 +255,30 @@ def test_bucket_cap_metrics_surface_drops(spark):
     )
     assert cm["buckets_dropped"] == 4 and cm["pairs_dropped"] == 4 * (20 * 19) // 2
     assert c_out.count() == 0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """CC over an undirected pair graph: a 4-chain, a 2-clique, and an
+    isolated pair all collapse to min-id labels; pointer jumping converges
+    the chain in O(log d) rounds."""
+    from timberjack_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (7, 5)], "id_a long, id_b long"
+    )
+    got = {r["nid"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 5: 5, 7: 5}
+
+
+def test_near_dup_clusters_transitive(docs_df):
+    """Planted near-dups: docs 0-3 are one transitive cluster (0~1, 0~2, 2~3
+    at threshold 0.5), 4~5 another; distinct docs stay singletons with
+    cluster_id = own id."""
+    from timberjack_spark.operators.dedup import near_dup_clusters
+
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(docs_df, threshold=0.5).collect()}
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[4] == got[5] == 4
+    for d in (6, 7):
+        assert got[d] == d
+    assert len(got) == docs_df.count()  # every doc labeled, singletons included

@@ -125,6 +125,42 @@ def test_quality_filter_matches_duckdb_twin(spark, docs):
 
 
 @pytest.mark.slow
+@settings(max_examples=max(MAX_EXAMPLES // 2, 10), deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), doc_st), min_size=1, max_size=20))
+def test_quality_filter_v2_matches_duckdb_twin(spark, docs):
+    """Same dialect-space fuzz for the v2 twin (Gopher repetition rules +
+    null_text short-circuit): nulls mixed in fuzz the NULL-semantics edge the
+    r04 advice flagged, and low thresholds make high_dup/top_token_dominance
+    actually fire on the tiny generated docs."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location("entry_fuzz2", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from timberjack_spark.functions.text import quality_filter
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["reasons"], r["keep"])
+        for r in quality_filter(df, max_dup_frac=0.3, max_top_frac=0.4).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs_src", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    sql = entry._quality_filter_sql(max_dup_frac=0.3, max_top_frac=0.4)
+    expected = {
+        int(r[0]): (int(r[1]), r[2], bool(r[3]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == expected
+
+
+@pytest.mark.slow
 @settings(max_examples=max(MAX_EXAMPLES // 3, 8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(doc_st, min_size=2, max_size=12))
 def test_decontaminate_matches_duckdb_twin(spark, docs):

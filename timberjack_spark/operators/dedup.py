@@ -365,6 +365,112 @@ def exact_jaccard_verify(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering — connected components over the pair graph, the step
+# that turns pairwise near-dup output into the keep-one-representative
+# decision a dedup pipeline actually executes.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(nid, cluster_id) for every node appearing in ``edges``, with
+    cluster_id = the minimum node id reachable in the undirected graph.
+
+    Iterative min-label propagation with a pointer-jumping step (each round:
+    label <- min over neighbours' labels, then label <- label's label), so
+    rounds needed are O(log diameter), not O(diameter) — near-dup components
+    are star/clique-like and converge in 2-3 rounds, but a pathological
+    chain of c components still finishes in log2(c) rounds.
+
+    Scale shape: state is ONE (node, label) table bounded by the number of
+    near-dup DOCS (edge endpoints — a small fraction of the corpus; docs in
+    no pair never enter the loop), localCheckpoint'd each round to cut the
+    growing lineage (the standard Spark iteration pattern — without it round
+    k replays rounds 1..k-1). Each round shuffles edges once on dst and once
+    on src (both uniform: ids), plus two small label-table joins. The
+    convergence check is an exact changed-row count, not a label-sum
+    (a sum of 10^11-scale ids overflows long).
+    """
+    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("nid"))
+        .distinct()
+        .select("nid", F.col("nid").cast("long").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.select(F.col("nid").alias("b"), F.col("lbl").alias("_blbl")), "b")
+            .groupBy("a")
+            .agg(F.min("_blbl").alias("_nlbl"))
+        )
+        step = (
+            labels.join(nbr.select(F.col("a").alias("nid"), "_nlbl"), "nid", "left")
+            .select("nid", F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("lbl"))
+            # checkpoint before the self-join: step is referenced twice by the
+            # pointer jump, and Spark re-executes un-materialized subtrees per
+            # plan branch
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: my label's CURRENT label (labels only ever decrease,
+        # so lbl(lbl) <= lbl and least() is just belt-and-braces)
+        jumped = (
+            step.join(
+                step.select(F.col("nid").alias("_p"), F.col("lbl").alias("_plbl")),
+                F.col("lbl") == F.col("_p"),
+                "left",
+            )
+            .select("nid", F.least("lbl", F.coalesce("_plbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.select("nid", F.col("lbl").alias("_new"))
+            .join(labels, "nid")
+            .filter(F.col("_new") != F.col("lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("nid", F.col("lbl").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """(id, cluster_id) for EVERY document: transitive near-dup clusters over
+    the minhash pair graph, cluster_id = min doc id of the cluster (docs in
+    no pair are their own singleton cluster). The keep-one-representative
+    dedup is then ``filter(id == cluster_id)`` — the decision rule C4/
+    RefinedWeb-style pipelines apply after pairwise near-dup detection.
+
+    One corpus scan builds the pairs (minhash_near_dups), the CC loop runs
+    on the pair-endpoint subgraph only, and the final left join restores
+    singletons without ever shuffling the corpus on anything but the id.
+    """
+    pairs = minhash_near_dups(df, text_col, id_col, threshold=threshold, **minhash_kwargs)
+    cc = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(cc.select(F.col("nid").alias(id_col), "cluster_id"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col).cast("long")).alias("cluster_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash — JVM expressions end to end: explode tokens, hash once, 64
 # conditional sums in one hash aggregate, assemble the bit vector
 # ---------------------------------------------------------------------------
