@@ -583,6 +583,18 @@ def _q_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(d, threshold=0.5, bands=32, max_bucket_size=10_000)
 
 
+def _q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (98/1/1): md5(salt:id) hash
+    bucket, a pure per-doc function — stable under corpus growth,
+    repartitioning and re-runs (unlike randomSplit / global row_number),
+    which is what keeps a frozen eval split frozen across dataset releases.
+    One projection, no shuffle; the oracle recomputes the exact assignment
+    (md5 + integer mod are in the portable cross-engine subset)."""
+    from timberjack_spark.operators.splits import split_assign
+
+    return split_assign(_tbl(spark, sf_dir, "documents"), salt="v1")
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from timberjack_spark.operators.dedup import exact_jaccard_verify, simhash_near_dups
 
@@ -821,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
+        "d_split_assign": _q_split_assign,        # deterministic train/val/test hash split
         # -- rotated IN (last adjudicated r03; green r01+r02+r03) --
         "q_events_quantiles": _q_events_quantiles,
         "t_conv_stats": _q_conv_stats,
@@ -1364,6 +1377,11 @@ def _oracle_sql_base() -> dict[str, str]:
         "d_jaccard_pairs": _jaccard_pairs_sql(),
         "d_minhash_pairs": _allpairs_jaccard_sql(0.5),
         "d_dedup_clusters": _dedup_clusters_sql(0.5),
+        "d_split_assign": """SELECT doc_id,
+            CASE WHEN b < 9800 THEN 'train' WHEN b < 9900 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                    ('0x' || substring(md5('v1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+                  FROM documents)""",
         "d_simhash_pairs": _allpairs_jaccard_sql(0.5),
         "e_cosine_pairs": """WITH base AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

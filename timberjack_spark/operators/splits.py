@@ -1,0 +1,66 @@
+"""Deterministic train/val/test split assignment for corpus curation.
+
+The split a training pipeline wants is a pure per-document function — NOT a
+global sort/row_number (which reshuffles every assignment when the corpus
+grows, breaking eval-set stability) and NOT ``df.randomSplit`` (seed- and
+partitioning-dependent, so re-running on a repartitioned corpus moves docs
+between splits). Hash-bucketing the id gives assignments that are stable
+under corpus growth, repartitioning, and re-runs, and that any other engine
+can reproduce (md5 is identical everywhere; the DuckDB oracle twin recomputes
+the exact assignment).
+
+One projection over one scan — no shuffle, trivially parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# basis-point buckets: 4 decimal digits of split-fraction precision
+_BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column, salt: str) -> Column:
+    """Stable bucket in [0, 10000) from md5(salt:id) — first 8 hex chars as
+    an integer (conv base 16 -> 10), mod bucket count. Portable subset only:
+    md5 hex and integer mod behave identically in Spark, DuckDB and Python
+    (xxhash64 would be cheaper but exists only in Spark — determinism across
+    engines is the point of this operator)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h % _BUCKETS
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """(id, split) with split drawn from ``weights`` (fractions summing to
+    <= 1; any remainder falls to the LAST named split). Changing ``salt``
+    re-deals every assignment — version the salt with the dataset release.
+
+    Default 98/1/1 train/val/test. Assignment is a deterministic function of
+    (salt, id) alone: adding documents later never moves an existing doc
+    between splits, which is the property that keeps a frozen eval set
+    frozen across corpus releases.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) > 1 + 1e-9:
+        raise ValueError(f"weights must be nonnegative fractions summing to <= 1: {weights}")
+    b = split_bucket(F.col(id_col), salt)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.select(F.col(id_col), expr.alias("split"))
