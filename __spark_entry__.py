@@ -595,6 +595,20 @@ def _q_split_assign(spark, sf_dir):
     return split_assign(_tbl(spark, sf_dir, "documents"), salt="v1")
 
 
+def _q_quota_sample(spark, sf_dir):
+    """Deterministic per-language quota downsampling (en x0.5, es x0.25,
+    rest kept): the mixture-rebalancing step that hits a target source/
+    language distribution. Same hash-bucket stability contract as
+    d_split_assign; rates ride a literal map — projection+filter, one scan,
+    no join, no shuffle."""
+    from timberjack_spark.operators.splits import quota_sample
+
+    d = _tbl(spark, sf_dir, "documents")
+    return quota_sample(d, rates={"en": 0.5, "es": 0.25}, stratum_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from timberjack_spark.operators.dedup import exact_jaccard_verify, simhash_near_dups
 
@@ -834,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
         "d_split_assign": _q_split_assign,        # deterministic train/val/test hash split
+        "d_quota_sample": _q_quota_sample,        # per-language mixture rebalancing
         # -- rotated IN (last adjudicated r03; green r01+r02+r03) --
         "q_events_quantiles": _q_events_quantiles,
         "t_conv_stats": _q_conv_stats,
@@ -1382,6 +1397,12 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (SELECT doc_id,
                     ('0x' || substring(md5('v1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
                   FROM documents)""",
+        "d_quota_sample": """SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                ('0x' || substring(md5('s1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b,
+                CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
+              FROM documents)
+            WHERE b < t""",
         "d_simhash_pairs": _allpairs_jaccard_sql(0.5),
         "e_cosine_pairs": """WITH base AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -38,3 +38,28 @@ def test_split_proportions_and_salt(spark):
     assert got <= {"train", "holdout"}
     with pytest.raises(ValueError):
         split_assign(docs, weights={"a": 0.9, "b": 0.2})
+
+
+def test_quota_sample_deterministic_rates(spark):
+    from timberjack_spark.operators.splits import quota_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kept = quota_sample(docs, rates={"en": 0.5, "es": 0.25}, stratum_col="lang")
+    k1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    k2 = {r["doc_id"] for r in quota_sample(
+        docs, rates={"en": 0.5, "es": 0.25}, stratum_col="lang").select("doc_id").collect()}
+    assert k1 == k2  # deterministic
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # rate-1.0 strata are kept completely; sampled strata land near their rate
+    for lang, n in tot.items():
+        if lang not in ("en", "es"):
+            assert got.get(lang, 0) == n
+    assert abs(got["en"] / tot["en"] - 0.5) < 0.15
+    assert abs(got.get("es", 0) / tot["es"] - 0.25) < 0.15
+    # rate 0 drops the stratum entirely; bad rates rejected
+    none_en = quota_sample(docs, rates={"en": 0.0}, stratum_col="lang")
+    assert none_en.filter(none_en.lang == "en").count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quota_sample(docs, rates={"en": 1.5}, stratum_col="lang")

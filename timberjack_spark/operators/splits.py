@@ -64,3 +64,40 @@ def split_assign(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.select(F.col(id_col), expr.alias("split"))
+
+
+def quota_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s1",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a document iff its hash
+    bucket falls under its stratum's rate — the mixture-rebalancing step a
+    training pipeline runs to hit a target source/language distribution
+    (downweight a crawl that dominates the corpus, keep all of a rare one).
+
+    Same stability contract as split_assign: keep/drop is a pure function of
+    (salt, id, stratum rate), so re-running, repartitioning, or growing the
+    corpus never flips an existing doc, and independent pipeline stages
+    sampling with the same salt agree on the kept set. ``df.sample()`` has
+    neither property. Rates ride a literal CASE/map — no join, one
+    projection+filter over one scan.
+    """
+    for k, v in rates.items():
+        if not 0 <= v <= 1:
+            raise ValueError(f"rate for {k!r} must be in [0, 1]: {v}")
+    if not 0 <= default_rate <= 1:
+        raise ValueError(f"default_rate must be in [0, 1]: {default_rate}")
+    pairs: list[Column] = []
+    for k, v in rates.items():
+        pairs += [F.lit(k), F.lit(int(round(v * _BUCKETS)))]
+    rate_map = F.create_map(*pairs) if pairs else None
+    thresh = (
+        F.coalesce(rate_map[F.col(stratum_col)], F.lit(int(round(default_rate * _BUCKETS))))
+        if rate_map is not None
+        else F.lit(int(round(default_rate * _BUCKETS)))
+    )
+    return df.filter(split_bucket(F.col(id_col), salt) < thresh)
