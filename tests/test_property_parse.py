@@ -161,6 +161,61 @@ def test_quality_filter_v2_matches_duckdb_twin(spark, docs):
 
 
 @pytest.mark.slow
+@settings(max_examples=max(MAX_EXAMPLES // 2, 10), deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_st, min_size=1, max_size=15))
+def test_doc_repetition_matches_duckdb_twin(spark, docs):
+    """Tokenizer-parity fuzz for the repetition twin: r05 switched the engine
+    side of d_doc_repetition from F.trim (ASCII space only) to ws_trim (full
+    Unicode White_Space, matching the oracle's explicit charset) — ADVICE r04
+    found exactly this divergence latent because the fixture has no exotic
+    framing; the fuzz alphabet does."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location("entry_fuzz3", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # _q_doc_repetition takes (spark, sf_dir); run the same expressions over
+    # the in-memory fuzz df instead (kept in sync with __spark_entry__)
+    from pyspark.sql import functions as F
+    from timberjack_spark.functions.extract import ws_trim
+    from timberjack_spark.plans import oracle as osql
+
+    c = (
+        df.select("doc_id", F.explode(F.split(ws_trim(F.col("text")), osql.WS_CLASS_RE + "+")).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    eng = a.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round(F.lit(1) - F.col("n_distinct") / F.col("n_tokens"), 6).alias("dup_frac"),
+        F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias("top_frac"),
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["dup_frac"], r["top_frac"])
+        for r in eng.collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_src", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    sql = entry._oracle_sql_base()["d_doc_repetition"]
+    expected = {
+        int(r[0]): (int(r[1]), int(r[2]), float(r[3]), float(r[4]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == expected
+
+
+@pytest.mark.slow
 @settings(max_examples=max(MAX_EXAMPLES // 3, 8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(doc_st, min_size=2, max_size=12))
 def test_decontaminate_matches_duckdb_twin(spark, docs):
