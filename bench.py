@@ -263,11 +263,7 @@ def main():
                 qfns[name](spark, SF_DIR).collect()
                 best = min(best, time.perf_counter() - t0)
             qtimes[name] = best
-    # adaptive precision: 2 decimals where they carry signal (>=1 s), 1
-    # decimal below (sub-second per-query times on this box are noise past
-    # the first decimal) — keeps the 63-query line inside the stdout-tail
-    # budget withOUT the whole-second fallback r03 got dinged for
-    qtimes = {k: round(v, 2 if v >= 1.0 else 1) for k, v in qtimes.items()}
+    qtimes = {k: round(v, 2) for k, v in qtimes.items()}
 
     # Streaming-drain throughput over the SAME 24M-turn corpus: the full
     # parse -> route -> windowed stateful aggregation under the streaming
@@ -374,21 +370,21 @@ def main():
         "throughput_turns_per_sec": int(round(n_turns / t_full)),
         "scaling": {
             "cores": f"{low_cores}->{high_cores}",
-            "wall": [round(t_low, 2), round(t_high, 2)],
-            "cpu": [round(cpu_low, 1), round(cpu_high, 1)],
+            "wall": [round(t_low, 1), round(t_high, 2)],
+            "cpu": [int(round(cpu_low)), int(round(cpu_high))],
             "efficiency": round(efficiency, 3),
             "work_efficiency": round(work_efficiency, 3) if work_efficiency else None,
         },
         "scaling_full_box": {
             "cores": f"{CPUS // 4}->{CPUS}",
-            "wall": [round(t_quarter, 2), round(t_full, 2)],
-            "cpu": [round(cpu_quarter, 1), round(cpu_full, 1)],
+            "wall": [round(t_quarter, 1), round(t_full, 2)],
+            "cpu": [int(round(cpu_quarter)), int(round(cpu_full))],
             "efficiency": full_box["efficiency"],
             "work_efficiency": full_box["work_efficiency"],
         },
         "window": window,
         "streaming_tps": streaming_rec["turns_per_sec"],
-        "streaming_cpu": streaming_rec["cpu_sec"],
+        "streaming_cpu": int(round(streaming_rec["cpu_sec"])),
     }
     # full (prose + per-round pairs + cpu counters) record -> sidecar file, so
     # a truncated stdout tail is never the only record of the round
@@ -431,11 +427,18 @@ def main():
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar), "w") as fh:
         json.dump(full, fh, indent=1)
+    # stdout-tail budget: the driver captures the LAST 2000 chars of stdout
+    # and this line prints last, so <=1980 (line + newline + a sliver of the
+    # preceding WARN) is always fully inside the captured tail. Degrade
+    # per-query precision, never the head; sidecar keeps full precision.
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1950:  # stdout-tail budget: degrade per-query precision, never the head
+    if len(line) > 1980:  # drop sub-second queries to 1 decimal first
+        out["queries"] = {k: (round(v, 2) if v >= 1.0 else round(v, 1)) for k, v in qtimes.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1980:  # then all queries to 1 decimal
         out["queries"] = {k: round(v, 1) for k, v in qtimes.items()}
         line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1950:  # last resort: whole-second query times (sidecar has full precision)
+    if len(line) > 1980:  # last resort: whole-second query times
         out["queries"] = {k: int(round(v)) for k, v in qtimes.items()}
         line = json.dumps(out, separators=(",", ":"))
     print(line)

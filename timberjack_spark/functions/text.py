@@ -249,6 +249,13 @@ def quality_filter(
     dup_frac/top_frac are NULL and the repetition rules pass them through —
     null_text/too_short already dropped them.
     """
+    # the rule signals are regexp-heavy per-row work computed below the first
+    # exchange; a small single-file corpus scans as ONE partition and books
+    # seconds of single-core time (measured 3.7 s -> sub-second at sf0.1).
+    # No-op at real scale — see dedup._ensure_parallelism.
+    from ..operators.dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     t = F.col(text_col)
     nt, pr, sr = token_count(t), punct_ratio(t), stopword_ratio(t)
     base = df

@@ -80,6 +80,56 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(k >= 1, F.array_distinct(grams)).otherwise(F.array(F.lower(ws_trim(text))))
 
 
+def make_grams_udf(n: int):
+    """Arrow-batched twin of :func:`shingles` for full-corpus gram explodes.
+
+    The Catalyst shingles expression (sequence + transform + slice +
+    array_join) is INTERPRETED — a salted fresh-plan probe reads 26.9 JVM
+    cpu-s per sf0.1 corpus pass (~6 ms/doc), which at 10^9 docs is real
+    cluster money. The same semantics in batch Python (one regex split + a
+    set build per doc) read 1.8 JVM cpu-s for the identical pass (wall 1.36
+    -> 0.65 s at 32 cores; the Python-worker cpu rides outside the JVM and
+    is itself small).
+    Kept byte-identical to shingles(): ws_trim charset strip, lower, split
+    on the shared WS class, first-occurrence-distinct n-grams, whole-text
+    fallback for short docs, [null] for null text — the decontamination
+    fuzz twin (tests/test_property_parse.py) pins the parity against the
+    DuckDB oracle on exotic-whitespace/non-ASCII alphabets. Used where the
+    gram stream covers the WHOLE corpus (decontamination); candidate-verify
+    joins keep the JVM expression (they see only the pruned survivors)."""
+    import re
+
+    from ..functions.extract import _WS
+
+    ws_re = re.compile("[" + _WS + "]+")
+
+    def _batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([None])
+                continue
+            t2 = t.strip(_WS).lower()
+            toks = ws_re.split(t2)
+            k = len(toks) - (n - 1)
+            if k >= 1:
+                seen: set[str] = set()
+                grams = []
+                for i in range(k):
+                    g = " ".join(toks[i : i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        grams.append(g)
+                out.append(grams)
+            else:
+                out.append([t2])
+        return pd.Series(out)
+
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_batch, "array<string>")
+
+
 def minhash_signature(sh: Column, k: int = 64) -> Column:
     """k minhashes via JVM expressions: min over shingles of xxhash64(shingle,
     seed_j). Exact but interpreted per element — O(k * |shingles|) lambda
@@ -736,15 +786,21 @@ def decontaminate_flags(
     ~1e-20 collision bound). For an unusually large eval set pass
     ``use_broadcast=False`` and the join shuffles on the gram string
     (uniform key — Spark hash-partitions the string itself).
-    The left join at the end restores non-contaminated docs with a 0 count —
-    the output covers the whole training corpus, which is what the
-    downstream drop/keep filter consumes.
+    The gram explode is explode_OUTER, so gram-less (null-text) docs keep a
+    row and the single aggregation covers the whole training corpus with a 0
+    count — the output is what the downstream drop/keep filter consumes.
     """
     # null grams (a null-text doc shingles to [null]) are dropped on BOTH
     # sides: SQL `IN` semantics (the oracle) never match NULL, and null text
     # carries no content to decontaminate against.
+    # Arrow-batched gram UDF on BOTH sides: this operator explodes grams for
+    # the whole corpus, where the interpreted Catalyst shingles expression
+    # costs ~45x more cpu per doc (see make_grams_udf). _ensure_parallelism
+    # spreads a small single-file scan across cores (no-op at scale).
+    grams = make_grams_udf(n)
     g_eval = (
-        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("_g"))
+        _ensure_parallelism(eval_df.select(F.col(text_col)))
+        .select(F.explode(grams(F.col(text_col))).alias("_g"))
         .filter(F.col("_g").isNotNull())
         .distinct()
     )
@@ -752,26 +808,25 @@ def decontaminate_flags(
     # _ensure_parallelism: a small single-file corpus scans as ONE partition
     # and the gram explode (the dominant cost — interpreted higher-order
     # shingle expressions) would run on one core (measured 19.8 s -> ~2 s at
-    # sf0.1); no-op at real scale where the scan has thousands of splits
-    g_train = (
-        _ensure_parallelism(train_df.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col), n)).alias("_g"),
-        )
-        .filter(F.col("_g").isNotNull())
+    # sf0.1); no-op at real scale where the scan has thousands of splits.
+    # explode_OUTER keeps a null-gram row for gram-less (null-text) docs, so
+    # ONE scan + ONE broadcast-left join + ONE aggregation covers the whole
+    # training corpus — the earlier semi-join shape needed a second corpus
+    # scan and a doc_id rejoin to restore clean docs (2 extra stages whose
+    # driver latency dominated the query at small scale).
+    g_train = _ensure_parallelism(train_df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode_outer(grams(F.col(text_col))).alias("_g"),
     )
-    hits = (
-        g_train.join(hint(g_eval), "_g", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_eval_grams_hit"))
+    marked = g_train.join(
+        hint(g_eval.select("_g", F.lit(1).alias("_h"))), "_g", "left"
     )
     return (
-        train_df.select(id_col)
-        .join(hits, id_col, "left")
+        marked.groupBy(id_col)
+        .agg(F.sum(F.coalesce("_h", F.lit(0))).cast("long").alias("n_eval_grams_hit"))
         .select(
             id_col,
-            F.coalesce("n_eval_grams_hit", F.lit(0)).alias("n_eval_grams_hit"),
-            (F.coalesce("n_eval_grams_hit", F.lit(0)) > 0).alias("contaminated"),
+            "n_eval_grams_hit",
+            (F.col("n_eval_grams_hit") > 0).alias("contaminated"),
         )
     )

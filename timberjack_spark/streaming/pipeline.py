@@ -395,7 +395,7 @@ def run_stream_decontam_once(
     doc within a bounded replay horizon). Mirrors the complete-vs-append
     discussion in run_stream_session_windows_once.
     """
-    from ..operators.dedup import _ensure_parallelism, shingles
+    from ..operators.dedup import _ensure_parallelism, make_grams_udf
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_decontam_ckpt_")
     # materialize the static side ONCE before the stream starts: a
@@ -407,9 +407,10 @@ def run_stream_decontam_once(
     # gram STRINGS, not 64-bit hashes, as the join key — same exactness
     # argument as batch decontaminate_flags (hash collisions against a
     # 10^11+-gram corpus approach O(1) false flags)
+    grams = make_grams_udf(n)
     g_eval = (
         _ensure_parallelism(eval_df.select("text"))
-        .select(F.explode(shingles(F.col("text"), n)).alias("_g"))
+        .select(F.explode(grams(F.col("text"))).alias("_g"))
         .filter(F.col("_g").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
@@ -421,7 +422,7 @@ def run_stream_decontam_once(
     # scale micro-batches carry many input splits and the exchange is noise)
     g_doc = (
         src.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(shingles(F.col("text"), n)).alias("_g"))
+        .select("doc_id", F.explode(grams(F.col("text"))).alias("_g"))
         .filter(F.col("_g").isNotNull())
     )
     contaminated = (
