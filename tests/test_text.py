@@ -144,3 +144,30 @@ def test_quality_filter_repetition_rules(spark):
     # thresholds off -> pure projection, no repetition reasons
     base = {r["doc_id"]: r["reasons"] for r in quality_filter(df).collect()}
     assert base[1] == "" and base[2] == ""
+
+
+def test_lang_id_udf_matches_expression(spark):
+    """The Arrow lang-ID twin must equal the Catalyst expression exactly —
+    including tie-breaks, '' / null, exotic whitespace and non-ASCII letters
+    (the alphabet classes that caught real divergences in rounds 2-4)."""
+    from timberjack_spark.functions.text import lang_id, make_lang_id_udf
+
+    rows = [
+        (0, "the cat and the hat is on the mat"),          # en
+        (1, "el perro y la casa de los gatos"),            # es
+        (2, "der hund und die katze ist nicht hier"),      # de
+        (3, "le chat est dans la maison pour une heure"),  # fr
+        (4, "zzz qqq www"),                                # und
+        (5, ""),                                           # und
+        (6, None),                                         # und (null scores)
+        (7, "the el der le"),                              # 4-way tie -> larger code
+        (8, "THE The thE"),                                # case folding
+        (9, "the cat and \tthe\x0bhat"),        # exotic separators
+        (10, "toß the é中 la el de"),                      # non-ASCII letters split
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    expr = {r["i"]: r["e"] for r in df.select("i", lang_id(F.col("text")).alias("e")).collect()}
+    udf = {r["i"]: r["u"] for r in df.select("i", make_lang_id_udf()(F.col("text")).alias("u")).collect()}
+    assert expr == udf
+    assert expr[7] == "fr"  # tie-break: array_max takes the larger lang code
+    assert expr[6] == "und" and expr[5] == "und"
