@@ -834,6 +834,20 @@ def _q_stream_decontam(spark, sf_dir):
     return out.filter(F.col("doc_id") % 7 != 0)
 
 
+def _q_stream_quality(spark, sf_dir):
+    """Streaming quality gate: the batch d_quality_filter program run
+    unmodified over the document file-stream — stateless projection, so
+    append-mode output is final on arrival with no watermark/state story.
+    Oracle: the identical batch quality-filter SQL (stream==batch)."""
+    from timberjack_spark.fixtures import documents_stream_dir
+    from timberjack_spark.streaming.pipeline import run_stream_quality_once
+
+    _STREAM_SEQ[0] += 1
+    return run_stream_quality_once(
+        spark, documents_stream_dir(sf_dir), query_name=f"q_stream_q_{_STREAM_SEQ[0]}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's adjudication order and its correctness gate
     # checks the FIRST 50 entries. Never-yet-adjudicated and least-recently
@@ -849,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
         "d_split_assign": _q_split_assign,        # deterministic train/val/test hash split
         "d_quota_sample": _q_quota_sample,        # per-language mixture rebalancing
+        "s_stream_quality": _q_stream_quality,    # quality gate under streaming (6th stage)
         # -- rotated IN (last adjudicated r03; green r01+r02+r03) --
         "q_events_quantiles": _q_events_quantiles,
         "t_conv_stats": _q_conv_stats,
@@ -1438,6 +1453,7 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM scored)
             WHERE r = 1""",
         "d_quality_filter": _quality_filter_sql(),
+        "s_stream_quality": _quality_filter_sql(),  # stream==batch: identical gate
         "d_quality_filter_v2": _quality_filter_sql(max_dup_frac=0.6, max_top_frac=0.2),
         "s_stream_decontam": rf"""WITH toks AS (
               SELECT doc_id, text,

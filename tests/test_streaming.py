@@ -156,3 +156,43 @@ def test_stream_decontam_equals_batch(spark, tmp_path_factory):
     }
     assert got == expected
     assert got == {i for i in range(40) if i % 5 == 0}
+
+
+def test_stream_quality_equals_batch(spark, tmp_path_factory):
+    """Streaming quality gate (multi-file drain) == batch quality_filter on
+    the same corpus — the stateless stream==batch contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timberjack_spark.functions.text import quality_filter
+    from timberjack_spark.streaming.pipeline import run_stream_quality_once
+
+    docs = [
+        (0, "the cat sat on the mat and that is a fine place for a cat to sit"),
+        (1, "short doc"),
+        (2, "!!!! ???? **** !!!! ???? **** the and of to in is that for"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, None),
+    ] + [(i, f"doc number {i} with the usual words of a fine corpus in it") for i in range(5, 25)]
+    d = tmp_path_factory.mktemp("quality_src")
+    # two files -> two micro-batch inputs under availableNow
+    for part, sel in (("a", docs[:12]), ("b", docs[12:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in sel], pa.int64()),
+                    "text": pa.array([r[1] for r in sel]),
+                    "lang": pa.array(["en"] * len(sel)),
+                    "source": pa.array(["t"] * len(sel)),
+                    "n_chars": pa.array([len(r[1] or "") for r in sel], pa.int64()),
+                }
+            ),
+            str(d / f"{part}.parquet"),
+        )
+    out = run_stream_quality_once(spark, str(d), query_name="t_stream_quality")
+    got = {r["doc_id"]: (r["n_tokens"], r["reasons"], r["keep"]) for r in out.collect()}
+    batch_df = spark.createDataFrame([(i, t) for i, t in docs], "doc_id long, text string")
+    want = {r["doc_id"]: (r["n_tokens"], r["reasons"], r["keep"])
+            for r in quality_filter(batch_df).collect()}
+    assert got == want
+    assert got[4] == (0, "null_text", False)  # null doc dropped in-stream too

@@ -37,6 +37,10 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     scale the scan already has thousands of splits and this is a no-op — the
     repartition only ever fires in the small-input regime where its shuffle is
     trivially cheap."""
+    if df.isStreaming:
+        # .rdd is illegal on a streaming DataFrame; streaming callers do
+        # their own stream-side repartition (see run_stream_decontam_once)
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -441,3 +441,45 @@ def run_stream_decontam_once(
         )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# streaming quality gate — the C4/Gopher keep/drop filter applied to
+# documents AS THEY ARRIVE: the same quality_filter program as the batch
+# d_quality_filter, run unmodified under the streaming engine. Stateless
+# (pure projection per micro-batch), so there is no watermark/state story at
+# all — the simplest possible stream==batch contract.
+# ---------------------------------------------------------------------------
+
+
+def run_stream_quality_once(
+    spark: SparkSession,
+    docs_path: str,
+    query_name: str = "stream_quality",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a document file-stream through the quality gate, emitting
+    (doc_id, n_tokens, reasons, keep) for every arriving doc exactly once.
+
+    stream==batch contract: the drained table equals batch
+    ``quality_filter`` over the same corpus (the DuckDB-oracle statement).
+    The stage is stateless — rows are independent — so append mode needs no
+    watermark and per-micro-batch output is final on arrival; a continuous
+    deployment just keeps the same query running. Stream-side repartition
+    spreads the regexp-heavy rule signals across cores (the streaming analog
+    of _ensure_parallelism — a small micro-batch scans as few tasks)."""
+    from ..functions.text import quality_filter
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_quality_ckpt_")
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    gated = quality_filter(src.repartition(spark.sparkContext.defaultParallelism))
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
