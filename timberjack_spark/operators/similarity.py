@@ -334,3 +334,66 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus around centroids, then prune
+    near-duplicate pairs ONLY within each cluster — the cluster assignment
+    turns the quadratic all-pairs problem into per-cluster blocks, which is
+    the published contract for running semantic dedup at web scale (pick
+    enough clusters that blocks stay small).
+
+    Returns ``(vec_id, cluster, keep)``. Keep rule: a vector is dropped iff
+    some SMALLER-id vector in the same cluster has cosine >= ``threshold``
+    with it (min-id representative — deterministic and engine-portable; the
+    paper keeps the member with the lowest centroid similarity instead, but
+    any one-per-duplicate-group rule curates the same mass).
+
+    Scale shape: the centroid table is tiny by construction and re-planned as
+    a local relation (broadcast everywhere, same as ivf_topk); the cluster
+    assignment is one broadcast crossJoin + window; candidate pairs come from
+    the single-scan groupBy(cluster) + sorted-members pair explode
+    (dedup._bucket_pairs — 16-byte id pairs, never two vector copies through
+    a self-join), and full vectors are joined back only for candidate
+    scoring. The only corpus-sized shuffles key on cluster and id — uniform
+    by construction when clusters are sized per the paper.
+    """
+    from .dedup import _bucket_pairs
+
+    cents_rows = centroids if centroids is not None else label_centroids(df, vec_col=vec_col)
+    cents = df.sparkSession.createDataFrame(cents_rows.collect(), schema=cents_rows.schema)
+    # referenced twice (cluster blocks + final keep join): lazy-checkpoint so
+    # the crossJoin+window assignment materializes once, not per plan branch
+    assigned = (
+        assign_nearest_centroid(df, cents, id_col, vec_col)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=False)
+    )
+    blocks = (
+        assigned.groupBy("cluster")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # each id sits in exactly one cluster -> every pair emitted once; no distinct
+    cand = _bucket_pairs(blocks, "ids").select(
+        F.col("_a").alias("id_a"), F.col("_b").alias("id_b")
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dups = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dups.withColumn("_dup", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", "cluster", F.col("_dup").isNull().alias("keep"))
