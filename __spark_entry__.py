@@ -693,6 +693,16 @@ def _q_cosine_pairs(spark, sf_dir):
     )
 
 
+def _q_span_dedup(spark, sf_dir):
+    """C4-style cross-corpus span dedup: 13-token consecutive chunks, keep
+    each distinct span's first (doc_id, span_idx) occurrence, rebuild docs
+    from survivors. Exact-duplicate fixture docs lose every span to their
+    first copy (clean_text = ''); near-duplicates keep only novel tails."""
+    from timberjack_spark.operators.dedup import span_dedup
+
+    return span_dedup(_tbl(spark, sf_dir, "documents"), w=13)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic deduplication over the (twin-augmented) embedding
     corpus: label-centroid clusters block the pair search, min-id keep rule.
@@ -885,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW r05: never driver-adjudicated --
         "e_semantic_dedup": _q_semantic_dedup,    # SemDeDup: cluster-blocked pair prune
+        "d_span_dedup": _q_span_dedup,            # C4 span dedup: rebuild from first occurrences
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1479,6 +1490,31 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS r
               FROM scored)
             WHERE r = 1""",
+        "d_span_dedup": rf"""WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(coalesce(text, ''), {osql.WS_SQL})),
+                                           '{_WSC}+') AS tk
+              FROM documents),
+            sp AS (
+              SELECT doc_id,
+                     unnest(range(0, cast(ceil(len(tk) / 13.0) AS INT))) AS span_idx,
+                     tk
+              FROM toks),
+            spans AS (
+              SELECT doc_id, span_idx,
+                     array_to_string(list_slice(tk, span_idx * 13 + 1, span_idx * 13 + 13),
+                                     ' ') AS span
+              FROM sp),
+            kept AS (
+              SELECT doc_id, span_idx, span,
+                     row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS k
+              FROM spans)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN k THEN span END, ' ' ORDER BY span_idx),
+                            '') AS clean_text,
+                   count(CASE WHEN k THEN 1 END) AS n_kept,
+                   count(*) AS n_spans
+            FROM kept GROUP BY doc_id""",
         "e_semantic_dedup": """WITH base AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
             aug AS (

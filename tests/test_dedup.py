@@ -282,3 +282,32 @@ def test_near_dup_clusters_transitive(docs_df):
     for d in (6, 7):
         assert got[d] == d
     assert len(got) == docs_df.count()  # every doc labeled, singletons included
+
+
+def test_span_dedup_contract(spark):
+    """C4-style span dedup: exact copies lose every span to the first copy,
+    near-copies keep only their novel tail, within-doc repeats collapse to
+    the first occurrence, and empty docs dedup their empty span."""
+    from timberjack_spark.operators.dedup import span_dedup
+
+    rows = [
+        (0, "a b c d e f"),        # first copy: keeps both spans
+        (1, "a b c d e f"),        # exact dup: loses everything
+        (2, "a b c x y z"),        # near dup: keeps only the novel tail
+        (3, ""),                   # first empty doc keeps its '' span
+        (4, ""),                   # second empty doc loses it
+        (5, "p q r p q r"),        # within-doc repeat: second span dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_spans"])
+        for r in span_dedup(df, w=3).collect()
+    }
+    assert got == {
+        0: ("a b c d e f", 2, 2),
+        1: ("", 0, 2),
+        2: ("x y z", 1, 2),
+        3: ("", 1, 1),
+        4: ("", 0, 1),
+        5: ("p q r", 1, 2),
+    }

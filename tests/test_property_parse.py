@@ -252,3 +252,35 @@ def test_decontaminate_matches_duckdb_twin(spark, docs):
         for r in con.execute(entry._oracle_sql_base()["d_contam_flags"]).fetchall()
     }
     assert got == expected
+
+
+@pytest.mark.slow
+@settings(max_examples=MAX_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), doc_st), min_size=1, max_size=15))
+def test_span_dedup_matches_duckdb_twin(spark, docs):
+    """Tokenizer + rebuild parity for the span-dedup twin over the exotic-WS
+    alphabet (null text must behave as '' in BOTH engines — the engine side
+    coalesces in the Arrow chunker, the oracle in SQL)."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location("entry_fuzz_span", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    from timberjack_spark.operators.dedup import span_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_spans"])
+        for r in span_dedup(df, w=13).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_src", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    expected = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]))
+        for r in con.execute(entry._oracle_sql_base()["d_span_dedup"]).fetchall()
+    }
+    assert got == expected

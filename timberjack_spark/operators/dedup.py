@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -833,4 +833,81 @@ def decontaminate_flags(
             "n_eval_grams_hit",
             (F.col("n_eval_grams_hit") > 0).alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus span dedup — C4's "deduplicate repeated spans across documents"
+# (Raffel et al. 2020 dedup three-sentence spans; RefinedWeb/CCNet dedup
+# paragraphs the same way): chunk every document into consecutive W-token
+# spans, keep each distinct span's globally FIRST occurrence ordered by
+# (doc_id, span_idx), rebuild documents from their surviving spans.
+# ---------------------------------------------------------------------------
+
+
+def make_chunks_udf(w: int):
+    """Arrow-batched consecutive W-token chunker (NON-overlapping, ordered —
+    unlike make_grams_udf's distinct sliding n-grams). Tokenizer kept
+    byte-identical to the shared contract: ws_trim charset strip, lower,
+    split on the WS class; null text behaves as '' (one empty chunk), so
+    every document yields >= 1 span and the rebuilt corpus keeps a row per
+    doc in both engines."""
+    import re
+
+    from ..functions.extract import _WS
+
+    ws_re = re.compile("[" + _WS + "]+")
+
+    def _batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = ws_re.split((t or "").strip(_WS).lower())
+            out.append([" ".join(toks[i : i + w]) for i in range(0, len(toks), w)])
+        return pd.Series(out)
+
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_batch, "array<string>")
+
+
+def span_dedup(
+    df: DataFrame,
+    w: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_spans): drop every repeated W-token
+    span's later occurrences ACROSS the whole corpus and rebuild each
+    document from its surviving spans (C4-style span dedup — exact copies
+    lose all their spans to the first copy; near-copies keep only their
+    novel tail).
+
+    Keep rule: a span survives iff it is the lexicographically-first
+    (doc_id, span_idx) occurrence of its exact text — deterministic,
+    engine-portable, and insertion-order independent.
+
+    Scale shape: ONE corpus scan -> Arrow chunker -> posexplode; the only
+    corpus-sized shuffle keys on the span text (uniform — spans are
+    near-unique by construction after chunking), then one groupBy(doc_id)
+    rebuild. At 100 TB you'd shuffle xxhash64(span) + a tiny tie-break
+    instead of the string; the string key keeps the DuckDB twin exact at
+    test scale and the plan identical."""
+    chunks = make_chunks_udf(w)
+    ex = _ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.posexplode(chunks(F.col(text_col))).alias("span_idx", "span")
+    )
+    w_first = Window.partitionBy("span").orderBy(F.col(id_col), F.col("span_idx"))
+    kept = ex.withColumn("_kept", F.row_number().over(w_first) == 1)
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_kept"), F.struct("span_idx", "span")))
+                ),
+                lambda s: s["span"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.when(F.col("_kept"), F.lit(1))).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_spans"),
     )
