@@ -609,6 +609,17 @@ def _q_quota_sample(spark, sf_dir):
     )
 
 
+def _q_seq_packing(spark, sf_dir):
+    """Greedy token-budget sequence packing ("sample packing"): documents go
+    to fixed 128-token bins, packed per deterministic shard (doc_id % 8) in
+    id order so shards parallelize while the assignment stays a pure function
+    of the corpus. Oracle = a DuckDB recursive CTE replaying the identical
+    greedy pass per shard."""
+    from timberjack_spark.operators.splits import pack_sequences
+
+    return pack_sequences(_tbl(spark, sf_dir, "documents"), budget=128, n_shards=8)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from timberjack_spark.operators.dedup import exact_jaccard_verify, simhash_near_dups
 
@@ -896,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW r05: never driver-adjudicated --
         "e_semantic_dedup": _q_semantic_dedup,    # SemDeDup: cluster-blocked pair prune
         "d_span_dedup": _q_span_dedup,            # C4 span dedup: rebuild from first occurrences
+        "d_seq_packing": _q_seq_packing,          # greedy token-budget bin packing per shard
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1456,6 +1468,22 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_seq_packing": rf"""WITH RECURSIVE tok AS (
+              SELECT doc_id, cast(doc_id % 8 AS INT) AS shard,
+                     CASE WHEN text IS NULL OR {_TRIMT} = '' THEN 0
+                          ELSE len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) END AS n_tokens
+              FROM documents),
+            ordered AS (
+              SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM tok),
+            packing AS (
+              SELECT shard, rn, doc_id, n_tokens, 0::BIGINT AS bin_idx, n_tokens AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+                     CASE WHEN p.fill + o.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+                     CASE WHEN p.fill + o.n_tokens <= 128 THEN p.fill + o.n_tokens ELSE o.n_tokens END
+              FROM packing p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+            SELECT doc_id, shard, bin_idx, n_tokens FROM packing""",
         "d_simhash_pairs": _allpairs_jaccard_sql(0.5),
         "e_cosine_pairs": """WITH base AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

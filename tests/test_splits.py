@@ -63,3 +63,42 @@ def test_quota_sample_deterministic_rates(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         quota_sample(docs, rates={"en": 1.5}, stratum_col="lang")
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing contract: per-bin fill never exceeds the budget except for a
+    single oversized doc alone in its bin; bin ids are contiguous from 0 per
+    shard; docs pack in id order; assignment survives repartitioning."""
+    from timberjack_spark.operators.splits import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 100, 30, 7, 200, 1, 64, 64, 64, 0])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=128, n_shards=2).collect()
+    assert len(out) == len(rows)
+    by_bin = {}
+    for r in out:
+        assert r["shard"] == r["doc_id"] % 2
+        by_bin.setdefault((r["shard"], r["bin_idx"]), []).append((r["doc_id"], r["n_tokens"]))
+    for (shard, b), members in by_bin.items():
+        fill = sum(nt for _, nt in members)
+        assert fill <= 128 or (len(members) == 1 and members[0][1] > 128)
+    for shard in (0, 1):
+        bins = sorted(b for s, b in by_bin if s == shard)
+        assert bins == list(range(len(bins)))
+        # id order respected: bin index is nondecreasing in doc_id
+        ordered = sorted((r["doc_id"], r["bin_idx"]) for r in out if r["shard"] == shard)
+        assert all(b1 <= b2 for (_, b1), (_, b2) in zip(ordered, ordered[1:]))
+    # stability: a repartitioned input packs identically
+    again = pack_sequences(df.repartition(7), budget=128, n_shards=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    from timberjack_spark.operators.splits import pack_sequences
+
+    rows = [(0, " ".join(["w"] * 300)), (2, " ".join(["w"] * 10)), (4, " ".join(["w"] * 10))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["bin_idx"], r["n_tokens"]) for r in pack_sequences(df, budget=64, n_shards=2).collect()}
+    assert out[0] == (0, 300)       # oversized: bin to itself
+    assert out[2] == (1, 10)        # next doc opens a fresh bin
+    assert out[4] == (1, 10)        # and shares it

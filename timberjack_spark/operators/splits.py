@@ -101,3 +101,58 @@ def quota_sample(
         else F.lit(int(round(default_rate * _BUCKETS)))
     )
     return df.filter(split_bucket(F.col(id_col), salt) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 128,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed token-budget bins
+    (the "sample packing" step that batches variable-length documents into
+    training sequences without padding waste). Returns
+    ``(doc_id, shard, bin_idx, n_tokens)``.
+
+    Packing is inherently sequential — each bin decision depends on the
+    running fill — so a single global greedy pass cannot parallelize. The
+    scalable contract: shard deterministically (``id % n_shards``), pack each
+    shard's documents in id order with an independent greedy pass, and make
+    bins unique by (shard, bin_idx). Shards pack in parallel (one
+    applyInPandas task each; pick n_shards ~ cluster cores at real scale) and
+    the assignment is a pure function of (corpus, budget, n_shards) — stable
+    across re-runs and repartitioning, and exactly reproducible by the
+    DuckDB recursive-CTE oracle twin.
+
+    Greedy rule (both engines, including the oversized-doc case): a document
+    opens a new bin iff the current bin's fill plus its tokens would exceed
+    the budget; a document longer than the whole budget gets a bin to itself.
+    Token counts ride the shared token_count contract (ws_trim + WS-class
+    split; null/empty text -> 0 tokens).
+    """
+    import pandas as pd
+
+    from ..functions.text import token_count
+
+    cnt = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        bins = []
+        b, fill = -1, 0
+        for nt in pdf["n_tokens"]:
+            if b < 0 or fill + nt > budget:
+                b, fill = b + 1, 0
+            fill += nt
+            bins.append(b)
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "shard", "bin_idx", "n_tokens"]]
+
+    return cnt.groupBy("shard").applyInPandas(
+        _pack, schema="doc_id long, shard int, bin_idx long, n_tokens long"
+    )
