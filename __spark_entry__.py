@@ -609,6 +609,17 @@ def _q_quota_sample(spark, sf_dir):
     )
 
 
+def _q_dataset_card(spark, sf_dir):
+    """Per-(split, language) dataset statistics card: the release-report
+    rollup composing the deterministic split assignment and the quality gate
+    in ONE corpus scan (both are pure projections; quality_filter's keep_cols
+    passthrough avoids a doc_id join back). Only shuffle = the tiny
+    (split, lang) aggregation."""
+    from timberjack_spark.operators.splits import dataset_card
+
+    return dataset_card(_tbl(spark, sf_dir, "documents"), salt="v1")
+
+
 def _q_seq_packing(spark, sf_dir):
     """Greedy token-budget sequence packing ("sample packing"): documents go
     to fixed 128-token bins, packed per deterministic shard (doc_id % 8) in
@@ -908,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_semantic_dedup": _q_semantic_dedup,    # SemDeDup: cluster-blocked pair prune
         "d_span_dedup": _q_span_dedup,            # C4 span dedup: rebuild from first occurrences
         "d_seq_packing": _q_seq_packing,          # greedy token-budget bin packing per shard
+        "d_dataset_card": _q_dataset_card,        # per-(split,lang) release statistics rollup
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1468,6 +1480,23 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_dataset_card": rf"""WITH qf AS ({_quality_filter_sql()}),
+            sb AS (
+              SELECT doc_id,
+                CASE WHEN b < 9800 THEN 'train' WHEN b < 9900 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                      ('0x' || substring(md5('v1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+                    FROM documents))
+            SELECT sb.split, d.lang,
+                   count(*) AS n_docs,
+                   sum(qf.n_tokens)::BIGINT AS total_tokens,
+                   round(avg(d.n_chars), 4) AS avg_chars,
+                   count(CASE WHEN qf.keep THEN 1 END) AS n_keep,
+                   round(count(CASE WHEN qf.keep THEN 1 END) / count(*), 4) AS keep_rate
+            FROM documents d
+            JOIN qf ON qf.doc_id = d.doc_id
+            JOIN sb ON sb.doc_id = d.doc_id
+            GROUP BY sb.split, d.lang""",
         "d_seq_packing": rf"""WITH RECURSIVE tok AS (
               SELECT doc_id, cast(doc_id % 8 AS INT) AS shard,
                      CASE WHEN text IS NULL OR {_TRIMT} = '' THEN 0

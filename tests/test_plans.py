@@ -131,3 +131,17 @@ def test_decontaminate_eval_grams_broadcast(spark):
     )
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_dataset_card_single_scan_no_join(spark):
+    """The dataset-card rollup fuses split assignment and the quality gate
+    into ONE corpus scan (pure projections via keep_cols passthrough) —
+    a doc_id join back would shuffle the corpus twice for no reason."""
+    from timberjack_spark.operators.splits import dataset_card
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(dataset_card(d))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    # partial (split,lang) agg happens map-side before the exchange
+    assert "partial" in plan.lower()

@@ -265,8 +265,12 @@ def quality_filter(
     min_stopword_ratio: float = 0.01,
     max_dup_frac: float | None = None,
     max_top_frac: float | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, n_tokens, reasons, keep) per document.
+    """(id, *keep_cols, n_tokens, reasons, keep) per document —
+    ``keep_cols`` passes input columns through unchanged so rollups (e.g.
+    dataset_card) can fuse the gate into their single scan instead of
+    joining back on the id.
 
     Rules (fixed order, so the reasons string is deterministic):
       null_text     text IS NULL — short-circuits all other rules (a missing
@@ -344,6 +348,7 @@ def quality_filter(
     )
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.coalesce(nt, F.lit(0)).alias("n_tokens"),
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),

@@ -50,10 +50,16 @@ def split_assign(
     between splits, which is the property that keeps a frozen eval set
     frozen across corpus releases.
     """
+    return df.select(F.col(id_col), split_expr(F.col(id_col), salt, weights).alias("split"))
+
+
+def split_expr(id_col: Column, salt: str, weights: dict[str, float] | None = None) -> Column:
+    """The split-name CASE chain as a reusable Column (split_assign's body;
+    also fused into single-scan rollups like dataset_card)."""
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) > 1 + 1e-9:
         raise ValueError(f"weights must be nonnegative fractions summing to <= 1: {weights}")
-    b = split_bucket(F.col(id_col), salt)
+    b = split_bucket(id_col, salt)
     names = list(weights)
     cum = 0.0
     expr = None
@@ -62,8 +68,7 @@ def split_assign(
         cond = b < int(round(cum * _BUCKETS))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
-    expr = last if expr is None else expr.otherwise(last)
-    return df.select(F.col(id_col), expr.alias("split"))
+    return last if expr is None else expr.otherwise(last)
 
 
 def quota_sample(
@@ -155,4 +160,44 @@ def pack_sequences(
 
     return cnt.groupBy("shard").applyInPandas(
         _pack, schema="doc_id long, shard int, bin_idx long, n_tokens long"
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    salt: str = "v1",
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-(split, language) dataset statistics card — the summary table a
+    dataset release ships (HF dataset cards / Dolma-style reports): document
+    and token counts, mean length, and the quality-gate keep rate, broken out
+    by train/val/test split and language.
+
+    Returns ``(split, lang, n_docs, total_tokens, avg_chars, n_keep,
+    keep_rate)``.
+
+    Scale shape: split assignment and the quality gate are both pure
+    projections, so they FUSE into the one corpus scan (quality_filter's
+    keep_cols passthrough avoids a doc_id join back); the only shuffle is the
+    final (split, lang) aggregation — a handful of groups, partial-aggregated
+    map-side to almost nothing.
+    """
+    from ..functions.text import quality_filter
+
+    q = quality_filter(df, id_col=id_col, keep_cols=(lang_col, chars_col))
+    return (
+        q.groupBy(
+            split_expr(F.col(id_col), salt, weights).alias("split"),
+            F.col(lang_col).alias("lang"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg(chars_col), 4).alias("avg_chars"),
+            F.count(F.when(F.col("keep"), F.lit(1))).alias("n_keep"),
+        )
+        .withColumn("keep_rate", F.round(F.col("n_keep") / F.col("n_docs"), 4))
     )
