@@ -609,6 +609,18 @@ def _q_quota_sample(spark, sf_dir):
     )
 
 
+def _q_temperature_sample(spark, sf_dir):
+    """Temperature-flattened domain mixture (alpha=0.5): keep rate
+    (n_min/n_d)^0.5 per source — downsample dominant sources toward a flatter
+    mixture without upsampling. The closed form cancels the cross-domain
+    normalizer, so the rate is pure sqrt/divide (correctly-rounded IEEE ops)
+    and the DuckDB oracle reproduces it bit-exactly. Plan: tiny domain-count
+    agg broadcast-joined back onto the corpus scan."""
+    from timberjack_spark.operators.splits import temperature_sample
+
+    return temperature_sample(_tbl(spark, sf_dir, "documents"), alpha=0.5, salt="mix-v1")
+
+
 def _q_dataset_card(spark, sf_dir):
     """Per-(split, language) dataset statistics card: the release-report
     rollup composing the deterministic split assignment and the quality gate
@@ -920,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_span_dedup": _q_span_dedup,            # C4 span dedup: rebuild from first occurrences
         "d_seq_packing": _q_seq_packing,          # greedy token-budget bin packing per shard
         "d_dataset_card": _q_dataset_card,        # per-(split,lang) release statistics rollup
+        "d_temperature_sample": _q_temperature_sample,  # alpha-flattened domain mixture
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1480,6 +1493,17 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_temperature_sample": """WITH c AS (
+              SELECT source, count(*) AS n_domain FROM documents GROUP BY source),
+            r AS (
+              SELECT source, n_domain,
+                CAST(floor(sqrt((SELECT min(n_domain) FROM c)::DOUBLE / n_domain::DOUBLE)
+                           * 10000) AS BIGINT) AS sample_bp
+              FROM c)
+            SELECT d.doc_id, d.source, r.n_domain, r.sample_bp,
+                   (('0x' || substring(md5('mix-v1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 10000) < r.sample_bp AS keep
+            FROM documents d JOIN r USING (source)""",
         "d_dataset_card": rf"""WITH qf AS ({_quality_filter_sql()}),
             sb AS (
               SELECT doc_id,

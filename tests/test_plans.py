@@ -145,3 +145,14 @@ def test_dataset_card_single_scan_no_join(spark):
     assert "Join" not in plan
     # partial (split,lang) agg happens map-side before the exchange
     assert "partial" in plan.lower()
+
+
+def test_temperature_sample_broadcast_rates(spark):
+    """Domain keep-rates are a handful of rows — they must broadcast back
+    onto the corpus scan, never shuffle the corpus on the domain key."""
+    from timberjack_spark.operators.splits import temperature_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(temperature_sample(d))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -102,3 +102,42 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     assert out[0] == (0, 300)       # oversized: bin to itself
     assert out[2] == (1, 10)        # next doc opens a fresh bin
     assert out[4] == (1, 10)        # and shares it
+
+
+def test_temperature_sample_semantics(spark):
+    """alpha-temperature mixture: smallest domain fully kept, dominant ones
+    cut to ~(n_min/n)^(1-alpha); alpha=1 is the natural mixture (no drops)."""
+    import math
+
+    from timberjack_spark.operators.splits import temperature_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = temperature_sample(docs, alpha=0.5).collect()
+    assert len(out) == docs.count()  # one row per input doc
+    n_by = {}
+    kept_by = {}
+    for r in out:
+        n_by[r["source"]] = r["n_domain"]
+        kept_by[r["source"]] = kept_by.get(r["source"], 0) + int(r["keep"])
+    n_min = min(n_by.values())
+    for s, n in n_by.items():
+        expect = math.sqrt(n_min / n)
+        if n == n_min:
+            assert kept_by[s] == n  # rate exactly 1.0 -> no drops
+        else:
+            assert abs(kept_by[s] / n - expect) < 0.1
+    # alpha=1: natural mixture, rate 1 everywhere
+    all_kept = temperature_sample(docs, alpha=1.0)
+    assert all_kept.filter("NOT keep").count() == 0
+    # alpha=0: uniform target, every domain ~n_min kept in expectation
+    uni = temperature_sample(docs, alpha=0.0)
+    got0 = {r["source"]: r["n"] for r in
+            uni.filter("keep").groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for s in n_by:
+        assert abs(got0.get(s, 0) - n_min) / n_min < 0.35
+    # deterministic re-run
+    out2 = temperature_sample(docs, alpha=0.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_sample(docs, alpha=1.5)

@@ -108,6 +108,62 @@ def quota_sample(
     return df.filter(split_bucket(F.col(id_col), salt) < thresh)
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-flattened domain mixture sampling — the corpus-mixing step
+    that downsamples dominant sources toward a flatter distribution (the
+    Pile / multilingual-LM ``p_d ∝ n_d^alpha`` recipe) WITHOUT upsampling:
+    every document of the smallest domain is kept, and domain ``d`` keeps a
+    deterministic ``(n_min / n_d)^(1 - alpha)`` fraction.
+
+    That closed form is the alpha-temperature target restated so the
+    cross-domain normalizer cancels: target weight ``w_d ∝ n_d^alpha`` with
+    total size chosen as the largest not requiring upsampling gives keep rate
+    ``w_d * T / n_d = (n_min / n_d)^(1-alpha)``. No sum over domains means no
+    float-summation-order dependence — at ``alpha=0.5`` the rate is
+    ``sqrt(n_min/n_d)``, and IEEE sqrt/divide are correctly rounded, so Spark
+    and the DuckDB oracle compute bit-identical rates. (Other alphas use
+    ``pow``, which libms only guarantee to 1 ulp — fine for sampling, not for
+    a hash-exact oracle; the registered oracle query pins alpha=0.5.)
+
+    Returns one row per INPUT document: ``(doc_id, <domain_col>, n_domain,
+    sample_bp, keep)`` with ``sample_bp`` the keep threshold in basis points
+    and ``keep`` the deterministic hash-Bernoulli draw (same stability
+    contract as split_assign: pure function of (salt, id, corpus counts)).
+
+    Scale shape: domain counts are a partial-aggregated groupBy collapsing to
+    a handful of rows; they broadcast-join back onto the corpus scan. Two
+    scans of the corpus total (count pass + assign pass) — the minimum for
+    any rate-from-corpus-statistics sampler.
+
+    Alpha semantics: 1.0 = natural mixture (keep everything), 0.0 = uniform
+    (every domain cut to n_min docs in expectation).
+    """
+    if not 0 <= alpha <= 1:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_domain"))
+    nmin = counts.agg(F.min("n_domain").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n_domain").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        F.col(domain_col),
+        F.col("n_domain"),
+        F.floor(rate * _BUCKETS).cast("bigint").alias("sample_bp"),
+    )
+    return df.join(F.broadcast(rates), domain_col).select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("n_domain"),
+        F.col("sample_bp"),
+        (split_bucket(F.col(id_col), salt) < F.col("sample_bp")).alias("keep"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 128,
