@@ -621,6 +621,17 @@ def _q_temperature_sample(spark, sf_dir):
     return temperature_sample(_tbl(spark, sf_dir, "documents"), alpha=0.5, salt="mix-v1")
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    """Top-3 distinguishing terms per document by tf/df ratio (stopwords rank
+    themselves out). The rank key is ONE IEEE division — bit-identical in
+    Spark and DuckDB, so the ordering (and hash) matches exactly; ties break
+    on the term string. Window runs over the (doc, term) tf table, never the
+    corpus."""
+    from timberjack_spark.operators.keywords import tfidf_top_terms
+
+    return tfidf_top_terms(_tbl(spark, sf_dir, "documents"), k=3)
+
+
 def _q_dataset_card(spark, sf_dir):
     """Per-(split, language) dataset statistics card: the release-report
     rollup composing the deterministic split assignment and the quality gate
@@ -933,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_seq_packing": _q_seq_packing,          # greedy token-budget bin packing per shard
         "d_dataset_card": _q_dataset_card,        # per-(split,lang) release statistics rollup
         "d_temperature_sample": _q_temperature_sample,  # alpha-flattened domain mixture
+        "d_tfidf_topk": _q_tfidf_topk,            # per-doc distinguishing terms (tf/df)
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1493,6 +1505,18 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_tfidf_topk": rf"""WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array({_TRIMT}, '{_WSC}+')) AS term
+              FROM documents),
+            t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                  WHERE term <> '' GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+            SELECT doc_id, term, tf, df, rank FROM (
+              SELECT t.doc_id, t.term, t.tf, dfq.df,
+                     row_number() OVER (PARTITION BY t.doc_id
+                       ORDER BY (t.tf::DOUBLE / dfq.df) DESC, t.term ASC) AS rank
+              FROM t JOIN dfq USING (term))
+            WHERE rank <= 3""",
         "d_temperature_sample": """WITH c AS (
               SELECT source, count(*) AS n_domain FROM documents GROUP BY source),
             r AS (

@@ -171,3 +171,35 @@ def test_lang_id_udf_matches_expression(spark):
     assert expr == udf
     assert expr[7] == "fr"  # tie-break: array_max takes the larger lang code
     assert expr[6] == "und" and expr[5] == "und"
+
+
+def test_tfidf_top_terms_ranks_distinguishing_terms(spark):
+    """tf/df ranking: a term unique to one doc beats a corpus-wide stopword;
+    ranks are dense 1..k per doc; null/empty docs emit nothing."""
+    from timberjack_spark.operators.keywords import tfidf_top_terms
+
+    rows = [
+        (1, "the zebra the quantum"),  # tf(the)=2, df=3 -> 2/3 < 1.0
+        (2, "the cat dog"),  # cat/dog tie at 1.0 -> term-string tiebreak
+        (3, "the apple apple apple"),
+        (4, None),
+        (5, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(d, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df"]))
+    assert set(by_doc) == {1, 2, 3}  # null/empty docs emit no rows
+    for doc, terms in by_doc.items():
+        assert [t[0] for t in sorted(terms)] == list(range(1, len(terms) + 1))
+    # doc 1: zebra/quantum (df=1) outrank 'the' (df=3) despite tf('the')=3
+    top1 = sorted(by_doc[1])
+    assert {t[1] for t in top1} == {"quantum", "zebra"}
+    # doc 3: apple tf=3 df=1 -> 3.0 beats the tf=1 df=3
+    assert sorted(by_doc[3])[0][1] == "apple"
+    # equal tf/df ratio ties break on term string: cat < dog, both 1.0
+    assert [t[1] for t in sorted(by_doc[2])] == ["cat", "dog"]
+    import pytest as _p
+    with _p.raises(ValueError):
+        tfidf_top_terms(d, k=0)
