@@ -632,6 +632,16 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_top_terms(_tbl(spark, sf_dir, "documents"), k=3)
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """RAG-style sliding-window chunking: 64-token windows every 48 tokens
+    (16-token overlap), stable (doc_id, chunk_idx) identity. Tokenize +
+    slice + posexplode are all JVM built-ins over ONE scan — no shuffle
+    anywhere in the plan."""
+    from timberjack_spark.operators.chunks import chunk_documents
+
+    return chunk_documents(_tbl(spark, sf_dir, "documents"), window=64, stride=48)
+
+
 def _q_dataset_card(spark, sf_dir):
     """Per-(split, language) dataset statistics card: the release-report
     rollup composing the deterministic split assignment and the quality gate
@@ -945,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dataset_card": _q_dataset_card,        # per-(split,lang) release statistics rollup
         "d_temperature_sample": _q_temperature_sample,  # alpha-flattened domain mixture
         "d_tfidf_topk": _q_tfidf_topk,            # per-doc distinguishing terms (tf/df)
+        "d_chunk_docs": _q_chunk_docs,            # sliding-window RAG chunking (no shuffle)
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1505,6 +1516,15 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_chunk_docs": rf"""WITH tk AS (
+              SELECT doc_id, regexp_split_to_array({_TRIMT}, '{_WSC}+') AS t
+              FROM documents WHERE text IS NOT NULL AND {_TRIMT} <> ''),
+            st AS (SELECT doc_id, t, len(t) AS n,
+                          unnest(range(0, len(t), 48)) AS s FROM tk)
+            SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx,
+                   CAST(least(64, n - s) AS INT) AS n_tokens,
+                   array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text
+            FROM st""",
         "d_tfidf_topk": rf"""WITH tok AS (
               SELECT doc_id, unnest(regexp_split_to_array({_TRIMT}, '{_WSC}+')) AS term
               FROM documents),

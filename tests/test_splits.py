@@ -141,3 +141,52 @@ def test_temperature_sample_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_sample(docs, alpha=1.5)
+
+
+def test_chunk_documents_invariants(spark):
+    """Every token lands in >= 1 chunk; consecutive chunks overlap by
+    window-stride; rebuilding from stride-prefixes reproduces the doc;
+    null/empty docs emit nothing."""
+    import pytest
+
+    from timberjack_spark.operators.chunks import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens: windows at 0,4,8
+        (2, "a b c"),                               # shorter than one window
+        (3, None),
+        (4, "   "),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(d, window=6, stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    assert set(by_doc) == {1, 2}
+    c1 = by_doc[1]
+    assert sorted(c1) == [0, 1, 2]
+    assert c1[0]["chunk_text"].split(" ") == [f"t{i}" for i in range(6)]
+    assert c1[1]["chunk_text"].split(" ") == [f"t{i}" for i in range(4, 10)]
+    assert c1[2]["chunk_text"].split(" ") == [f"t{i}" for i in range(8, 10)]  # short tail
+    assert [c1[i]["n_tokens"] for i in (0, 1, 2)] == [6, 6, 2]
+    # overlap contract: chunk i+1 starts stride tokens after chunk i -> doc
+    # reconstructs from the first `stride` tokens of each chunk
+    rebuilt = []
+    for i in sorted(c1):
+        rebuilt += c1[i]["chunk_text"].split(" ")[:4]
+    assert rebuilt[:10] == [f"t{i}" for i in range(10)]
+    assert by_doc[2][0]["chunk_text"] == "a b c" and by_doc[2][0]["n_tokens"] == 3
+    with pytest.raises(ValueError):
+        chunk_documents(d, window=0)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is projection+explode only — a shuffle in this plan would be
+    a bug (pure per-row function of the document)."""
+    from tests.test_plans import plan_of
+    from timberjack_spark.operators.chunks import chunk_documents
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(chunk_documents(d))
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
