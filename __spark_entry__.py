@@ -632,6 +632,19 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_top_terms(_tbl(spark, sf_dir, "documents"), k=3)
 
 
+def _q_contam_report(spark, sf_dir):
+    """Per-eval-doc contamination report (inverse of d_contam_flags): for
+    each benchmark document, distinct 8-grams found in training + distinct
+    training docs sharing one. Eval grams broadcast; the training corpus is
+    one scan; the join output is only the overlap volume."""
+    from timberjack_spark.operators.dedup import contamination_report
+
+    d = _tbl(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    tr = d.filter(F.col("doc_id") % 7 != 0)
+    return contamination_report(tr, ev, n=8)
+
+
 def _q_chunk_docs(spark, sf_dir):
     """RAG-style sliding-window chunking: 64-token windows every 48 tokens
     (16-token overlap), stable (doc_id, chunk_idx) identity. Tokenize +
@@ -956,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_temperature_sample": _q_temperature_sample,  # alpha-flattened domain mixture
         "d_tfidf_topk": _q_tfidf_topk,            # per-doc distinguishing terms (tf/df)
         "d_chunk_docs": _q_chunk_docs,            # sliding-window RAG chunking (no shuffle)
+        "d_contam_report": _q_contam_report,      # per-eval-doc contamination report
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1516,6 +1530,30 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_contam_report": rf"""WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) - 7 >= 1
+                     THEN list_distinct(list_transform(range(1, len(tk) - 6),
+                            i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+                     ELSE [lower({_TRIMT})] END AS sh
+              FROM toks),
+            eg AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
+            tg AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM sh WHERE doc_id % 7 <> 0),
+            p AS (SELECT eg.eval_id, tg.train_id, eg.g
+                  FROM eg JOIN tg USING (g) WHERE g IS NOT NULL),
+            a AS (SELECT eval_id, count(DISTINCT g) AS n_grams_hit,
+                         count(DISTINCT train_id) AS n_train_docs_hit
+                  FROM p GROUP BY eval_id)
+            SELECT d.doc_id,
+                   coalesce(n_grams_hit, 0)::BIGINT AS n_grams_hit,
+                   coalesce(n_train_docs_hit, 0)::BIGINT AS n_train_docs_hit,
+                   coalesce(n_grams_hit, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+            LEFT JOIN a ON a.eval_id = d.doc_id""",
         "d_chunk_docs": rf"""WITH tk AS (
               SELECT doc_id, regexp_split_to_array({_TRIMT}, '{_WSC}+') AS t
               FROM documents WHERE text IS NOT NULL AND {_TRIMT} <> ''),

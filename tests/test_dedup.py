@@ -311,3 +311,38 @@ def test_span_dedup_contract(spark):
         4: ("", 0, 1),
         5: ("p q r", 1, 2),
     }
+
+
+def test_contamination_report_per_eval_doc(spark):
+    """Inverse direction of decontaminate_flags: the report attributes hits
+    to EVAL docs — distinct grams leaked + distinct training docs sharing
+    them; clean eval docs are restored with zero counts."""
+    from timberjack_spark.operators.dedup import contamination_report
+
+    eval_docs = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "tiny doc"),
+        (102, "never seen anywhere"),
+    ]
+    train_docs = [
+        # contains eval 100's first 8-gram (one shared gram)
+        (0, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+        # contains the SAME gram again -> second train doc, same gram
+        (1, "alpha beta gamma delta epsilon zeta eta theta trailing words here"),
+        # short doc == eval 101 -> whole-text fallback hit
+        (2, "tiny doc"),
+    ]
+    ev = spark.createDataFrame(eval_docs, "doc_id long, text string")
+    tr = spark.createDataFrame(train_docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_grams_hit"], r["n_train_docs_hit"], r["contaminated"])
+        for r in contamination_report(tr, ev, n=8).collect()
+    }
+    # doc 1's tokens 0..9 contain eval 100's grams starting at 0,1,2?? no:
+    # eval 100 grams = 3 distinct 8-grams (starts 0,1,2); train doc 0 holds
+    # only the start-0 gram, train doc 1 holds starts 0 and... its tokens are
+    # [alpha..theta, trailing, words, here]: only the start-0 gram matches.
+    assert out[100] == (1, 2, True)   # one leaked gram, seen in 2 train docs
+    assert out[101] == (1, 1, True)   # whole-text fallback
+    assert out[102] == (0, 0, False)  # restored clean
+    assert len(out) == 3

@@ -836,6 +836,61 @@ def decontaminate_flags(
     )
 
 
+def contamination_report(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """Per-EVAL-document contamination report — the inverse direction of
+    decontaminate_flags, and the table an eval team actually reads: for each
+    benchmark document, how much of it leaked into the training corpus.
+    Returns ``(doc_id, n_grams_hit, n_train_docs_hit, contaminated)`` where
+    ``n_grams_hit`` counts the eval doc's DISTINCT word n-grams found
+    anywhere in training and ``n_train_docs_hit`` counts distinct training
+    documents sharing >= 1 gram with it. Same gram contract as
+    decontaminate_flags (lowercased shingles, short-doc whole-text fallback,
+    null grams never match).
+
+    Scale shape: the eval (id, gram) table is benchmark-sized and
+    broadcasts; the training corpus is ONE scan + gram explode + broadcast
+    join. The join output is only the overlap volume (shared grams x the
+    eval docs containing them), and both count-distincts partial-aggregate.
+    Clean eval docs are restored by a broadcast left join of the eval id
+    list against the (eval-sized) hit aggregate — nothing ever shuffles on
+    the training corpus.
+    """
+    grams = make_grams_udf(n)
+    g_eval = (
+        _ensure_parallelism(eval_df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("_eid"), F.explode(grams(F.col(text_col))).alias("_g"))
+        .filter(F.col("_g").isNotNull())
+    )
+    g_train = (
+        _ensure_parallelism(train_df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("_tid"), F.explode(grams(F.col(text_col))).alias("_g"))
+        .filter(F.col("_g").isNotNull())
+    )
+    hint = F.broadcast if use_broadcast else (lambda x: x)
+    pairs = g_train.join(hint(g_eval), "_g")
+    agg = pairs.groupBy("_eid").agg(
+        F.countDistinct("_g").alias("n_grams_hit"),
+        F.countDistinct("_tid").alias("n_train_docs_hit"),
+    )
+    return (
+        eval_df.select(F.col(id_col))
+        .join(F.broadcast(agg), F.col(id_col) == F.col("_eid"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams_hit", F.lit(0)).cast("long").alias("n_grams_hit"),
+            F.coalesce("n_train_docs_hit", F.lit(0)).cast("long").alias("n_train_docs_hit"),
+            (F.coalesce("n_grams_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-corpus span dedup — C4's "deduplicate repeated spans across documents"
 # (Raffel et al. 2020 dedup three-sentence spans; RefinedWeb/CCNet dedup
