@@ -170,6 +170,17 @@ def _q_matched_sample(spark, sf_dir):
     return agg.matched_sample(m, limit=50)
 
 
+def _q_field_coverage(spark, sf_dir):
+    """Schema-on-read JSON field profiling: per dotted path, presence count,
+    exact distinct values, and coverage fraction of parsed JSON rows — the
+    schema-drift/sparsity report. JVM is_jsonish gate before the Arrow UDF;
+    maps checkpointed once (two plan branches); coverage is one IEEE
+    division (bit-identical in DuckDB)."""
+    from timberjack_spark.functions.fields import field_coverage
+
+    return field_coverage(_transcripts(spark, sf_dir))
+
+
 def _q_field_histogram(spark, sf_dir):
     """P3 — materialized dotted-path fields map (json.rs:50-90): which JSON
     field paths occur, and in how many rows."""
@@ -632,6 +643,16 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_top_terms(_tbl(spark, sf_dir, "documents"), k=3)
 
 
+def _q_length_histogram(spark, sf_dir):
+    """Power-of-two sequence-length histogram — the packing/truncation
+    planning stat. Bucket = length(bin(n_tokens)): integer/string built-ins
+    reproduce exactly cross-engine where floor(log2(n)) would not. One scan,
+    ~20-group agg."""
+    from timberjack_spark.functions.text import length_histogram
+
+    return length_histogram(_tbl(spark, sf_dir, "documents"))
+
+
 def _q_contam_report(spark, sf_dir):
     """Per-eval-doc contamination report (inverse of d_contam_flags): for
     each benchmark document, distinct 8-grams found in training + distinct
@@ -970,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_tfidf_topk": _q_tfidf_topk,            # per-doc distinguishing terms (tf/df)
         "d_chunk_docs": _q_chunk_docs,            # sliding-window RAG chunking (no shuffle)
         "d_contam_report": _q_contam_report,      # per-eval-doc contamination report
+        "d_length_histogram": _q_length_histogram,  # pow-2 token-length buckets
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1004,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_ivf_topk": _q_ivf_topk,                # oracle: IVF semantics in SQL
         "s_stream_level_counts": _q_stream_level_counts,
         "s_stream_conv_sessions": _q_stream_conv_sessions,
+        "t_field_coverage": _q_field_coverage,    # JSON schema profiling (drift/sparsity)
         "t_field_histogram": _q_field_histogram,
         "t_route_sink_counts": _q_route_sink_counts,
         "t_enrich_rollup": _q_enrich_rollup,
@@ -1345,6 +1368,36 @@ def _oracle_sql_base() -> dict[str, str]:
         # JSON grammar nests at most 3 levels with no arrays, so 3 explicit
         # levels adjudicate every path; the general recursion/cap semantics
         # are pinned by tests/test_fields.py
+        "t_field_coverage": f"""WITH j AS (
+              SELECT trim(text, {osql.WS_SQL})::JSON AS doc FROM read_parquet('{tp}')
+              WHERE json_valid(trim(text, {osql.WS_SQL}))
+                AND trim(text, {osql.WS_SQL}) LIKE '{{%' AND trim(text, {osql.WS_SQL}) LIKE '%}}'),
+            l1 AS (SELECT doc, unnest(json_keys(doc)) AS k1 FROM j),
+            l1t AS (SELECT doc, k1, json_type(doc, '$.' || k1) AS t1 FROM l1),
+            l2 AS (SELECT doc, k1, unnest(json_keys(doc, '$.' || k1)) AS k2 FROM l1t WHERE t1 = 'OBJECT'),
+            l2t AS (SELECT doc, k1, k2, json_type(doc, '$.' || k1 || '.' || k2) AS t2 FROM l2),
+            l3 AS (SELECT doc, k1, k2, unnest(json_keys(doc, '$.' || k1 || '.' || k2)) AS k3
+                   FROM l2t WHERE t2 = 'OBJECT'),
+            l3t AS (SELECT doc, k1, k2, k3, json_type(doc, '$.' || k1 || '.' || k2 || '.' || k3) AS t3 FROM l3),
+            leaves AS (
+              SELECT doc, k1 AS field, t1 AS t, '$.' || k1 AS p
+              FROM l1t WHERE t1 NOT IN ('OBJECT', 'ARRAY')
+              UNION ALL
+              SELECT doc, k1 || '.' || k2, t2, '$.' || k1 || '.' || k2
+              FROM l2t WHERE t2 NOT IN ('OBJECT', 'ARRAY')
+              UNION ALL
+              SELECT doc, k1 || '.' || k2 || '.' || k3, t3, '$.' || k1 || '.' || k2 || '.' || k3
+              FROM l3t WHERE t3 NOT IN ('OBJECT', 'ARRAY')),
+            v AS (SELECT field,
+                         CASE WHEN t = 'NULL' THEN 'null'
+                              ELSE json_extract_string(doc, p) END AS value
+                  FROM leaves),
+            tot AS (SELECT count(*) AS n_json FROM j),
+            per AS (SELECT field, count(*) AS n_present,
+                           count(DISTINCT value) AS n_distinct FROM v GROUP BY field)
+            SELECT field, n_present, n_distinct,
+                   n_present::DOUBLE / n_json AS coverage
+            FROM per, tot""",
         "t_field_histogram": f"""WITH j AS (
               SELECT trim(text, {osql.WS_SQL})::JSON AS doc FROM read_parquet('{tp}')
               WHERE json_valid(trim(text, {osql.WS_SQL}))
@@ -1530,6 +1583,17 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_length_histogram": rf"""WITH t AS (
+              SELECT CASE WHEN text IS NULL OR {_TRIMT} = '' THEN 0
+                          ELSE len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) END AS n_tokens
+              FROM documents)
+            SELECT CASE WHEN n_tokens = 0 THEN 0
+                        ELSE length(bin(n_tokens)) END::INT AS bucket,
+                   count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens,
+                   min(n_tokens) AS min_tokens,
+                   max(n_tokens) AS max_tokens
+            FROM t GROUP BY 1""",
         "d_contam_report": rf"""WITH toks AS (
               SELECT doc_id, text,
                      regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk

@@ -62,3 +62,26 @@ def test_histogram_on_fixture(spark):
     assert hist["service"] == hist["level"] == hist["timestamp"] == hist["message"]
     assert hist["request.headers.content-type"] >= 1  # nested dotted path
     assert hist["user.role"] >= 1
+
+
+def test_field_coverage_profile(spark):
+    """Coverage fractions count only successfully-parsed JSON rows in the
+    denominator; values stringify on the reference contract (bool/null as
+    JSON literals); non-JSON rows are invisible."""
+    from timberjack_spark.functions.fields import field_coverage
+
+    rows = [
+        (0, '{"a": 1, "b": {"c": "x"}}'),
+        (1, '{"a": 2}'),
+        (2, '{"a": 1, "flag": true, "gone": null}'),
+        (3, 'plain text line'),
+        (4, '{broken json'),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r["field"]: r for r in field_coverage(df).collect()}
+    # 3 parsed JSON rows (broken json parses to null map -> excluded)
+    assert out["a"]["n_present"] == 3 and out["a"]["n_distinct"] == 2
+    assert out["a"]["coverage"] == 1.0
+    assert out["b.c"]["n_present"] == 1 and abs(out["b.c"]["coverage"] - 1 / 3) < 1e-12
+    assert out["flag"]["n_distinct"] == 1 and out["gone"]["n_present"] == 1
+    assert set(out) == {"a", "b.c", "flag", "gone"}

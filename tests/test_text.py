@@ -203,3 +203,27 @@ def test_tfidf_top_terms_ranks_distinguishing_terms(spark):
     import pytest as _p
     with _p.raises(ValueError):
         tfidf_top_terms(d, k=0)
+
+
+def test_length_histogram_buckets(spark):
+    """Bucket b covers 2^(b-1)..2^b-1 tokens; empty/null docs land in
+    bucket 0; boundaries at exact powers of two are exact (no libm log2)."""
+    from timberjack_spark.functions.text import length_histogram
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "one"),                      # 1 token  -> bucket 1
+        (3, "a b"),                      # 2 tokens -> bucket 2
+        (4, "a b c"),                    # 3 tokens -> bucket 2
+        (5, " ".join(["w"] * 4)),        # 4 tokens -> bucket 3
+        (6, " ".join(["w"] * 7)),        # 7 tokens -> bucket 3
+        (7, " ".join(["w"] * 8)),        # 8 tokens -> bucket 4
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in length_histogram(d).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0]["n_docs"] == 2 and out[0]["total_tokens"] == 0
+    assert out[2]["n_docs"] == 2 and (out[2]["min_tokens"], out[2]["max_tokens"]) == (2, 3)
+    assert out[3]["n_docs"] == 2 and (out[3]["min_tokens"], out[3]["max_tokens"]) == (4, 7)
+    assert out[4]["n_docs"] == 1 and out[4]["total_tokens"] == 8

@@ -119,3 +119,44 @@ def field_name_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("field"))
     )
+
+
+def field_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Schema-on-read JSON profiling: ``(field, n_present, n_distinct,
+    coverage)`` per dotted path — the data-profiling report that shows
+    schema drift and field sparsity across a heterogeneous log corpus
+    (coverage = fraction of successfully-parsed JSON rows carrying the
+    field; n_distinct = exact distinct stringified values).
+
+    Scale shape: rows are JVM-gated on is_jsonish before the Arrow UDF; the
+    parsed maps feed BOTH the row-count aggregate and the key/value explode,
+    so they are localCheckpoint'd once (Spark re-executes ArrowEvalPython
+    subtrees per plan branch — same lesson as the dedup signature tables).
+    The explode carries (path, value) pairs bounded by MAX_JSON_FIELDS per
+    row; the per-field aggregation partial-aggregates map-side, and the
+    1-row total broadcast-joins on. ``coverage`` is a single IEEE division —
+    bit-identical in the DuckDB oracle.
+    """
+    from .extract import is_jsonish
+
+    maps = (
+        df.filter(is_jsonish(F.col(text_col)))
+        .select(fields_map_udf(F.col(text_col)).alias("m"))
+        .filter(F.col("m").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    tot = maps.agg(F.count(F.lit(1)).alias("n_json"))
+    per = (
+        maps.select(F.explode("m").alias("field", "value"))
+        .groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.countDistinct("value").alias("n_distinct"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "field",
+        "n_present",
+        "n_distinct",
+        (F.col("n_present").cast("double") / F.col("n_json")).alias("coverage"),
+    )

@@ -353,3 +353,28 @@ def quality_filter(
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two sequence-length histogram: ``(bucket, n_docs,
+    total_tokens, min_tokens, max_tokens)`` where bucket b covers documents
+    of 2^(b-1)..2^b-1 tokens (bucket 0 = empty/null docs). The release stat
+    a training team reads to size sequence packing and spot truncation risk.
+
+    ``length(bin(n))`` gives the bucket with pure integer/string built-ins —
+    identical in Spark and DuckDB, unlike floor(log2(n)) whose libm rounding
+    at exact powers of two is not portable. One scan, pure projection, and a
+    ~20-group aggregation that partial-aggregates map-side to nothing.
+    """
+    nt = F.coalesce(token_count(F.col(text_col)), F.lit(0))
+    bucket = F.when(nt == 0, F.lit(0)).otherwise(F.length(F.bin(nt))).cast("int")
+    return (
+        df.select(nt.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
