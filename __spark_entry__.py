@@ -959,6 +959,25 @@ def _q_stream_decontam(spark, sf_dir):
     return out.filter(F.col("doc_id") % 7 != 0)
 
 
+def _q_stream_ingest_dedup(spark, sf_dir):
+    """Streaming ingestion novelty filter (7th streaming stage): every
+    arriving doc whose exact text (md5) is absent from the STATIC history
+    split (doc_id % 5 == 0) is admitted. Stateless stream-static left-anti
+    join against a once-materialized broadcast hash set — no watermark, no
+    state store. Oracle: the batch anti-join."""
+    from timberjack_spark.fixtures import documents_stream_dir
+    from timberjack_spark.streaming.pipeline import run_stream_ingest_dedup_once
+
+    hist = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    _STREAM_SEQ[0] += 1
+    return run_stream_ingest_dedup_once(
+        spark,
+        documents_stream_dir(sf_dir),
+        hist,
+        query_name=f"q_stream_ing_{_STREAM_SEQ[0]}",
+    )
+
+
 def _q_stream_quality(spark, sf_dir):
     """Streaming quality gate: the batch d_quality_filter program run
     unmodified over the document file-stream — stateless projection, so
@@ -992,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_chunk_docs": _q_chunk_docs,            # sliding-window RAG chunking (no shuffle)
         "d_contam_report": _q_contam_report,      # per-eval-doc contamination report
         "d_length_histogram": _q_length_histogram,  # pow-2 token-length buckets
+        "s_stream_ingest_dedup": _q_stream_ingest_dedup,  # stateless novelty admission
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1583,6 +1603,13 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        # text IS NULL arm: Spark's left_anti KEEPS null-key rows (null never
+        # matches) while bare SQL NOT IN would drop them via NULL comparison —
+        # the admission filter passes what it cannot hash (pinned in pytest)
+        "s_stream_ingest_dedup": """SELECT doc_id FROM documents
+            WHERE text IS NULL OR md5(text) NOT IN
+                  (SELECT md5(text) FROM documents
+                   WHERE doc_id % 5 = 0 AND text IS NOT NULL)""",
         "d_length_histogram": rf"""WITH t AS (
               SELECT CASE WHEN text IS NULL OR {_TRIMT} = '' THEN 0
                           ELSE len(regexp_split_to_array({_TRIMT}, '{_WSC}+')) END AS n_tokens

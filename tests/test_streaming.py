@@ -196,3 +196,41 @@ def test_stream_quality_equals_batch(spark, tmp_path_factory):
             for r in quality_filter(batch_df).collect()}
     assert got == want
     assert got[4] == (0, "null_text", False)  # null doc dropped in-stream too
+
+
+def test_stream_ingest_dedup_equals_batch_anti_join(spark, tmp_path_factory):
+    """Streaming novelty admission == batch md5 anti-join vs the static
+    history: history re-crawls and exact copies are rejected, novel docs
+    admitted; within-stream repeats both pass (pure per-row predicate)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timberjack_spark.streaming.pipeline import run_stream_ingest_dedup_once
+
+    history = [(100, "old page one"), (101, "old page two")]
+    arrivals = [
+        (0, "old page one"),      # exact re-crawl -> rejected
+        (1, "brand new page"),    # admitted
+        (2, "old page two"),      # rejected
+        (3, "another new page"),  # admitted
+        (4, "brand new page"),    # within-stream repeat -> still admitted
+        (5, None),                # null text: md5 null never matches -> admitted
+    ]
+    d = tmp_path_factory.mktemp("ingest_src")
+    for part, sel in (("a", arrivals[:3]), ("b", arrivals[3:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in sel], pa.int64()),
+                    "text": pa.array([r[1] for r in sel]),
+                    "lang": pa.array(["en"] * len(sel)),
+                    "source": pa.array(["t"] * len(sel)),
+                    "n_chars": pa.array([len(r[1] or "") for r in sel], pa.int64()),
+                }
+            ),
+            str(d / f"{part}.parquet"),
+        )
+    hist_df = spark.createDataFrame(history, "doc_id long, text string")
+    out = run_stream_ingest_dedup_once(spark, str(d), hist_df, query_name="t_stream_ingest")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [1, 3, 4, 5]

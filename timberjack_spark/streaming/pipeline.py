@@ -483,3 +483,61 @@ def run_stream_quality_once(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_ingest_dedup_once(
+    spark: SparkSession,
+    docs_path: str,
+    history_df: DataFrame,
+    query_name: str = "stream_ingest",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a document file-stream through an ingestion novelty filter:
+    emit the doc_id of every arriving document whose EXACT text (md5) does
+    not already exist in the static historical corpus — the
+    continuous-crawl admission step that keeps re-crawled pages out of the
+    next training snapshot.
+
+    stream==batch contract: output ids equal the batch anti-join
+    ``SELECT doc_id FROM arrivals WHERE md5(text) NOT IN (history hashes)``
+    (the DuckDB-oracle statement). The stage is STATELESS — a stream-static
+    left-anti join against a broadcast hash set needs no watermark and no
+    state store, so a continuous deployment just keeps the query running
+    (contrast run_stream_decontam_once, whose exactly-once emission needs
+    dropDuplicates state). Within-stream repeats are NOT collapsed here by
+    design: first-arrival order inside a drain is an engine detail, and
+    collapsing on it would make the output depend on file-listing order —
+    the admission filter is a pure per-row predicate instead. Null-text
+    documents are ADMITTED (md5(null) is null, and a null key never matches
+    in an anti-join — note plain SQL ``NOT IN`` would silently DROP them via
+    three-valued logic; the oracle twin spells the null arm out): a novelty
+    filter passes what it cannot hash, and the downstream quality gate owns
+    the null_text drop.
+
+    The static history hash set is distinct'd and localCheckpoint'd ONCE
+    before the stream starts (a stream-static join re-evaluates the static
+    plan every micro-batch), and only 16-byte hashes broadcast — never
+    history text.
+    """
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_ingest_ckpt_")
+    hist = (
+        history_df.select(F.md5("text").alias("_h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    accepted = (
+        src.select("doc_id", F.md5("text").alias("_h"))
+        .join(F.broadcast(hist), "_h", "left_anti")
+        .select("doc_id")
+    )
+    q = (
+        accepted.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
