@@ -643,6 +643,24 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_top_terms(_tbl(spark, sf_dir, "documents"), k=3)
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Release-to-release corpus diff: previous release synthesized
+    deterministically from the current one (doc_id % 11 == 0 dropped ->
+    'added' now; doc_id % 13 == 0 text-perturbed -> 'modified'). One
+    full-outer join on id comparing md5 hashes — 24 bytes/row through the
+    shuffle, zero-exchange on bucketed release tables."""
+    from timberjack_spark.operators.versioning import snapshot_diff
+
+    d = _tbl(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [v1]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(d, prev)
+
+
 def _q_length_histogram(spark, sf_dir):
     """Power-of-two sequence-length histogram — the packing/truncation
     planning stat. Bucket = length(bin(n_tokens)): integer/string built-ins
@@ -1012,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_contam_report": _q_contam_report,      # per-eval-doc contamination report
         "d_length_histogram": _q_length_histogram,  # pow-2 token-length buckets
         "s_stream_ingest_dedup": _q_stream_ingest_dedup,  # stateless novelty admission
+        "d_snapshot_diff": _q_snapshot_diff,      # release diff (added/removed/modified)
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1603,6 +1622,16 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_snapshot_diff": """WITH prev AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN text || ' [v1]' ELSE text END AS text
+              FROM documents WHERE doc_id % 11 <> 0)
+            SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+                   CASE WHEN p.doc_id IS NULL THEN 'added'
+                        WHEN c.doc_id IS NULL THEN 'removed'
+                        WHEN md5(c.text) = md5(p.text) THEN 'unchanged'
+                        ELSE 'modified' END AS status
+            FROM documents c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id""",
         # text IS NULL arm: Spark's left_anti KEEPS null-key rows (null never
         # matches) while bare SQL NOT IN would drop them via NULL comparison —
         # the admission filter passes what it cannot hash (pinned in pytest)

@@ -190,3 +190,26 @@ def test_chunk_documents_no_shuffle(spark):
     plan = plan_of(chunk_documents(d))
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_snapshot_diff_statuses(spark):
+    """Full-outer release diff: added/removed/modified/unchanged from id
+    presence + hash equality; null-text docs are never 'unchanged'."""
+    from timberjack_spark.operators.versioning import snapshot_diff
+
+    curr = spark.createDataFrame(
+        [(1, "same"), (2, "new text"), (3, "brand new"), (5, None)],
+        "doc_id long, text string",
+    )
+    prev = spark.createDataFrame(
+        [(1, "same"), (2, "old text"), (4, "gone now"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(curr, prev).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "modified",
+        3: "added",
+        4: "removed",
+        5: "modified",  # null hashes never compare equal -> not provably unchanged
+    }
