@@ -284,3 +284,104 @@ def test_span_dedup_matches_duckdb_twin(spark, docs):
         for r in con.execute(entry._oracle_sql_base()["d_span_dedup"]).fetchall()
     }
     assert got == expected
+
+
+@pytest.mark.slow
+@settings(max_examples=max(MAX_EXAMPLES // 2, 10), deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), doc_st), min_size=1, max_size=15))
+def test_chunk_documents_matches_duckdb_twin(spark, docs):
+    """Tokenizer-parity fuzz for the chunking twin: window slicing must cut
+    at identical token boundaries under exotic whitespace / null / empty
+    docs (the engine uses ws_trim + WS-class split, the oracle the explicit
+    charset + regexp_split_to_array)."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location("entry_fuzz_ch", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from timberjack_spark.operators.chunks import chunk_documents
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, window=64, stride=48).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_src", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    sql = entry._oracle_sql_base()["d_chunk_docs"]
+    expected = {
+        (int(r[0]), int(r[1])): (int(r[2]), r[3]) for r in con.execute(sql).fetchall()
+    }
+    assert got == expected
+
+
+@pytest.mark.slow
+@settings(max_examples=max(MAX_EXAMPLES // 2, 10), deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), doc_st), min_size=1, max_size=15))
+def test_tfidf_topk_matches_duckdb_twin(spark, docs):
+    """Ranking-parity fuzz for the tf/df twin: the single-division rank key
+    plus term-string tiebreak must order identically in both engines for any
+    tokenization the alphabet can produce (ties are common on tiny docs)."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location("entry_fuzz_tf", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from timberjack_spark.operators.keywords import tfidf_top_terms
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in tfidf_top_terms(df, k=3).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_src", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    sql = entry._oracle_sql_base()["d_tfidf_topk"]
+    expected = {
+        (int(r[0]), int(r[4])): (r[1], int(r[2]), int(r[3]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == expected
+
+
+@pytest.mark.slow
+@settings(max_examples=max(MAX_EXAMPLES // 2, 10), deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), doc_st), min_size=1, max_size=15))
+def test_length_histogram_matches_duckdb_twin(spark, docs):
+    """Bucket-parity fuzz: length(bin(n)) bucketing and the 0-token bucket
+    must agree for any token count the alphabet produces."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location("entry_fuzz_lh", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from timberjack_spark.functions.text import length_histogram
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: (r["n_docs"], r["total_tokens"], r["min_tokens"], r["max_tokens"])
+        for r in length_histogram(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_src", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    sql = entry._oracle_sql_base()["d_length_histogram"]
+    expected = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == expected

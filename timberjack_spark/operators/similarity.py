@@ -387,11 +387,36 @@ def semantic_dedup(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+
+    # Arrow-batched pair scoring: cluster-blocked candidates are O(sum of
+    # block^2) — 800k pairs at sf0.1 — and the interpreted higher-order
+    # cosine fold costs ~15x an Arrow/numpy twin (11.6 -> ~1.5 s measured;
+    # the same lesson as make_grams_udf). Safe HERE because the operator
+    # emits only the keep DECISION, not the cosine value: numpy's pairwise
+    # summation order differs from the SQL fold by ulps, which cannot flip
+    # a >= threshold decision at the corpus's decision margin (true pairs
+    # >= 0.987, false <= ~0.54 vs threshold 0.95). Value-emitting operators
+    # (cosine_near_dup_pairs) keep the fold so their oracle hash matches
+    # exactly. num >= t*den avoids the divide; den == 0 (zero vector) never
+    # keeps, matching SQL try_divide -> NULL -> false.
+    def _score(it):
+        import numpy as np
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["_va"].values)
+            b = np.stack(pdf["_vb"].values)
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
+            keep = (den > 0) & (num >= threshold * den)
+            yield pdf.loc[keep, ["vec_id"]]
+
     dups = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
-        .select(F.col("id_b").alias("vec_id"))
+        .select(F.col("id_b").alias("vec_id"), "_va", "_vb")
+        .mapInPandas(_score, schema="vec_id long")
         .distinct()
     )
     return assigned.join(
