@@ -684,6 +684,16 @@ def _q_contam_report(spark, sf_dir):
     return contamination_report(tr, ev, n=8)
 
 
+def _q_inverted_index(spark, sf_dir):
+    """Search-index posting-list build: per term, document frequency + the
+    first 1000 sorted doc ids as a comma-joined string. The cap rides a
+    row_number filter Spark rewrites to a map-side WindowGroupLimit, so hot
+    stopword terms never concentrate rows; df counts the full set."""
+    from timberjack_spark.operators.keywords import inverted_index
+
+    return inverted_index(_tbl(spark, sf_dir, "documents"), max_postings=1000)
+
+
 def _q_chunk_docs(spark, sf_dir):
     """RAG-style sliding-window chunking: 64-token windows every 48 tokens
     (16-token overlap), stable (doc_id, chunk_idx) identity. Tokenize +
@@ -1031,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_length_histogram": _q_length_histogram,  # pow-2 token-length buckets
         "s_stream_ingest_dedup": _q_stream_ingest_dedup,  # stateless novelty admission
         "d_snapshot_diff": _q_snapshot_diff,      # release diff (added/removed/modified)
+        "d_inverted_index": _q_inverted_index,    # posting lists w/ map-side group limit
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1622,6 +1633,21 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_inverted_index": rf"""WITH tok AS (
+              SELECT DISTINCT term, doc_id FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array({_TRIMT}, '{_WSC}+')) AS term
+                FROM documents)
+              WHERE term <> ''),
+            dfq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+            ranked AS (
+              SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS r
+              FROM tok),
+            posts AS (
+              SELECT term, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+              FROM ranked WHERE r <= 1000 GROUP BY term)
+            SELECT term, df, postings FROM dfq JOIN posts USING (term)""",
         "d_snapshot_diff": """WITH prev AS (
               SELECT doc_id,
                 CASE WHEN doc_id % 13 = 0 THEN text || ' [v1]' ELSE text END AS text

@@ -156,3 +156,16 @@ def test_temperature_sample_broadcast_rates(spark):
     plan = plan_of(temperature_sample(d))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_group_limit_below_exchange(spark):
+    """The posting cap must ride a WindowGroupLimit BELOW the window's
+    exchange — each map task ships at most max_postings ids per term, so a
+    corpus-wide stopword never concentrates its rows in one reducer."""
+    from timberjack_spark.operators.keywords import inverted_index
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(inverted_index(d, max_postings=10))
+    assert "WindowGroupLimit" in plan
+    # partial (pre-shuffle) + final group limits both present
+    assert plan.count("WindowGroupLimit") >= 2

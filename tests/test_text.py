@@ -227,3 +227,28 @@ def test_length_histogram_buckets(spark):
     assert out[2]["n_docs"] == 2 and (out[2]["min_tokens"], out[2]["max_tokens"]) == (2, 3)
     assert out[3]["n_docs"] == 2 and (out[3]["min_tokens"], out[3]["max_tokens"]) == (4, 7)
     assert out[4]["n_docs"] == 1 and out[4]["total_tokens"] == 8
+
+
+def test_inverted_index_postings_and_cap(spark):
+    """Posting lists are sorted distinct doc ids; df counts the FULL set
+    while postings carry only the first max_postings ids (the hot-term
+    shard contract); repeats within a doc post once."""
+    from timberjack_spark.operators.keywords import inverted_index
+
+    rows = [
+        (3, "zebra the the"),   # 'the' repeats in-doc -> one posting
+        (1, "the apple"),
+        (2, "the apple zebra"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: (r["df"], r["postings"]) for r in inverted_index(d).collect()}
+    assert out["the"] == (3, "1,2,3")
+    assert out["apple"] == (1, "1") or out["apple"] == (2, "1,2")
+    assert out["apple"] == (2, "1,2")
+    assert out["zebra"] == (2, "2,3")
+    capped = {r["term"]: (r["df"], r["postings"]) for r in
+              inverted_index(d, max_postings=2).collect()}
+    assert capped["the"] == (3, "1,2")  # df full, postings capped to first 2
+    import pytest as _p
+    with _p.raises(ValueError):
+        inverted_index(d, max_postings=0)

@@ -65,3 +65,57 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "rank")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    max_postings: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Search-index posting-list build: ``(term, df, postings)`` per distinct
+    term, where ``df`` is the document frequency and ``postings`` the sorted
+    doc-id list serialized as a comma-joined string (strings hash/compare
+    portably; raw array columns do not survive a cross-engine value compare).
+
+    Skew contract: stopword terms ('the') post in EVERY document, so an
+    uncapped build sends a corpus-sized array through one reducer — the
+    classic build-the-index skew bomb. ``postings`` therefore carries only
+    the FIRST ``max_postings`` sorted ids (a real index shards hot posting
+    lists the same way); ``df`` always counts the full set, so nothing about
+    corpus statistics is lost and the cap is explicit in the schema, not
+    silent. Scale shape: explode -> distinct (doc, term) -> the cap rides a
+    row_number-over-(term order by id) filter, which Spark rewrites to a
+    WindowGroupLimit BELOW the exchange (plan-pinned) — each map task ships
+    at most ``max_postings`` ids per term, so the hot term's rows never
+    concentrate, and the collect_list buffer is bounded by the cap. The full
+    ``df`` count is a separate partial agg off the same checkpointed
+    (term, id) table (two consumers — same ReuseExchange caveat as
+    tfidf_top_terms).
+    """
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1: {max_postings}")
+    tok = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(ws_trim(F.col(text_col)), osql.WS_CLASS_RE + "+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select("term", F.col(id_col).alias("_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("term").orderBy("_id")
+    posts = (
+        tok.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("postings")
+        )
+    )
+    dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return dfreq.join(posts, "term").select("term", "df", "postings")
