@@ -684,6 +684,48 @@ def _q_contam_report(spark, sf_dir):
     return contamination_report(tr, ev, n=8)
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """Capstone composition: the FULL curation pass — quality gate, exact
+    dedup (min-id representative), benchmark decontamination (vs the
+    doc_id % 7 eval split) and deterministic split assignment — as ONE
+    declarative Spark plan per document: (doc_id, keep_quality, is_dup,
+    contaminated, split, admitted). Catalyst fuses the three projections
+    into the dedup/decontam scans; shuffles are the md5 group and the gram
+    aggregation only, both partial-aggregated; eval grams broadcast. This
+    is the whole-pipeline query a user of the reference would run."""
+    from timberjack_spark.functions.text import quality_filter
+    from timberjack_spark.operators.dedup import decontaminate_flags
+    from timberjack_spark.operators.splits import split_expr
+
+    d = _tbl(spark, sf_dir, "documents")
+    q = quality_filter(d).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    reps = (
+        d.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("_rep"))
+    )
+    dup = (
+        d.select("doc_id", F.md5("text").alias("_h"))
+        .join(reps, "_h")
+        .select("doc_id", (F.col("doc_id") != F.col("_rep")).alias("is_dup"))
+    )
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    contam = decontaminate_flags(d, ev, n=8).select("doc_id", "contaminated")
+    out = (
+        q.join(dup, "doc_id")
+        .join(contam, "doc_id")
+        .withColumn("split", split_expr(F.col("doc_id"), "v1", None))
+        .withColumn(
+            "admitted",
+            F.col("keep_quality") & ~F.col("is_dup") & ~F.col("contaminated"),
+        )
+    )
+    return out.select(
+        "doc_id", "keep_quality", "is_dup", "contaminated", "split", "admitted"
+    )
+
+
 def _q_inverted_index(spark, sf_dir):
     """Search-index posting-list build: per term, document frequency + the
     first 1000 sorted doc ids as a comma-joined string. The cap rides a
@@ -1042,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_ingest_dedup": _q_stream_ingest_dedup,  # stateless novelty admission
         "d_snapshot_diff": _q_snapshot_diff,      # release diff (added/removed/modified)
         "d_inverted_index": _q_inverted_index,    # posting lists w/ map-side group limit
+        "d_curation_pipeline": _q_curation_pipeline,  # capstone: full pass, one plan
         "d_quality_filter_v2": _q_quality_filter_v2,  # + Gopher repetition rules
         "m_video_features": _q_video_features,    # REAL Y4M demux/decode
         "d_dedup_clusters": _q_dedup_clusters,    # transitive near-dup CC (recursive-CTE oracle)
@@ -1633,6 +1676,41 @@ def _oracle_sql_base() -> dict[str, str]:
                 CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 10000 END AS t
               FROM documents)
             WHERE b < t""",
+        "d_curation_pipeline": rf"""WITH qf AS ({_quality_filter_sql()}),
+            reps AS (SELECT md5(text) AS h, min(doc_id) AS rep
+                     FROM documents GROUP BY md5(text)),
+            dup AS (SELECT d.doc_id, d.doc_id <> r.rep AS is_dup
+                    FROM documents d JOIN reps r ON md5(d.text) = r.h),
+            ctoks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower({_TRIMT}), '{_WSC}+') AS tk
+              FROM documents),
+            csh AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) - 7 >= 1
+                     THEN list_distinct(list_transform(range(1, len(tk) - 6),
+                            i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+                     ELSE [lower({_TRIMT})] END AS sh
+              FROM ctoks),
+            eg AS (SELECT DISTINCT unnest(sh) AS g FROM csh WHERE doc_id % 7 = 0),
+            tg AS (SELECT doc_id, unnest(sh) AS g FROM csh),
+            hits AS (SELECT doc_id, count(*) AS n FROM tg
+                     WHERE g IN (SELECT g FROM eg) GROUP BY doc_id),
+            con AS (SELECT d.doc_id, coalesce(n, 0) > 0 AS contaminated
+                    FROM documents d LEFT JOIN hits USING (doc_id)),
+            sb AS (SELECT doc_id,
+                     CASE WHEN b < 9800 THEN 'train' WHEN b < 9900 THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM (SELECT doc_id,
+                           ('0x' || substring(md5('v1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                           % 10000 AS b
+                         FROM documents)),
+            q AS (SELECT doc_id, keep AS keep_quality FROM qf)
+            SELECT q.doc_id, q.keep_quality, dup.is_dup, con.contaminated, sb.split,
+                   (q.keep_quality AND NOT dup.is_dup AND NOT con.contaminated)
+                     AS admitted
+            FROM q JOIN dup USING (doc_id) JOIN con USING (doc_id)
+                   JOIN sb USING (doc_id)""",
         "d_inverted_index": rf"""WITH tok AS (
               SELECT DISTINCT term, doc_id FROM (
                 SELECT doc_id,

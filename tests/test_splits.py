@@ -213,3 +213,35 @@ def test_snapshot_diff_statuses(spark):
         4: "removed",
         5: "modified",  # null hashes never compare equal -> not provably unchanged
     }
+
+
+def test_curation_pipeline_composition(spark):
+    """The capstone query's flags must equal each stage run standalone, and
+    admitted == keep_quality AND NOT is_dup AND NOT contaminated."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_cp", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r for r in entry.queries()["d_curation_pipeline"](spark, sf).collect()}
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    assert len(out) == d.count()
+    from pyspark.sql import functions as F
+
+    from timberjack_spark.functions.text import quality_filter
+    from timberjack_spark.operators.dedup import decontaminate_flags
+    from timberjack_spark.operators.splits import split_assign
+
+    q = {r["doc_id"]: r["keep"] for r in quality_filter(d).collect()}
+    c = {r["doc_id"]: r["contaminated"] for r in
+         decontaminate_flags(d, d.filter(F.col("doc_id") % 7 == 0), n=8).collect()}
+    s = {r["doc_id"]: r["split"] for r in split_assign(d, salt="v1").collect()}
+    for i, r in out.items():
+        assert r["keep_quality"] == q[i]
+        assert r["contaminated"] == c[i]
+        assert r["split"] == s[i]
+        assert r["admitted"] == (q[i] and not r["is_dup"] and not c[i])
+    # eval-split docs share grams with themselves -> always contaminated
+    assert all(out[i]["contaminated"] for i in out if i % 7 == 0)
