@@ -312,8 +312,21 @@ def quality_filter(
 
     df = _ensure_parallelism(df)
     t = F.col(text_col)
-    nt, pr, sr = token_count(t), punct_ratio(t), stopword_ratio(t)
-    base = df
+    # signals land in a DEDICATED projection so each interpreted expression
+    # (token split, punct regexp_replace, stopword filter) evaluates ONCE per
+    # row: inlining them into `reasons` re-evaluates every signal per rule,
+    # and `keep = (reasons == '')` re-inlines the whole reasons tree again —
+    # measured 1.70 s -> 0.95 s at sf0.1 for the identical output.
+    # CollapseProject leaves the split alone because the signal columns are
+    # referenced more than once and are not cheap.
+    sig = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        t.isNull().alias("_null"),
+        token_count(t).alias("_nt"),
+        punct_ratio(t).alias("_pr"),
+        stopword_ratio(t).alias("_sr"),
+    )
     use_rep = max_dup_frac is not None or max_top_frac is not None
     if use_rep:
         c = (
@@ -325,12 +338,12 @@ def quality_filter(
             F.round(F.lit(1) - F.count(F.lit(1)) / F.sum("_c"), 6).alias("_dup_frac"),
             F.round(F.max("_c") / F.sum("_c"), 6).alias("_top_frac"),
         )
-        base = df.join(rep, id_col, "left")
+        sig = sig.join(rep, id_col, "left")
     rules = [
-        ("too_short", nt < min_tokens),
-        ("too_long", nt > max_tokens),
-        ("high_punct", pr > max_punct_ratio),
-        ("low_stopword", sr < min_stopword_ratio),
+        ("too_short", F.col("_nt") < min_tokens),
+        ("too_long", F.col("_nt") > max_tokens),
+        ("high_punct", F.col("_pr") > max_punct_ratio),
+        ("low_stopword", F.col("_sr") < min_stopword_ratio),
     ]
     if max_dup_frac is not None:
         rules.append(("high_dup", F.col("_dup_frac") > max_dup_frac))
@@ -340,18 +353,23 @@ def quality_filter(
     # instead of whichever coalesced-signal rules happen to also fire (the
     # engine coalesces ratios to 0.0 while a SQL twin leaves them NULL — only
     # the short-circuit form has one unambiguous cross-engine answer)
-    reasons = F.when(t.isNull(), F.lit("null_text")).otherwise(
+    reasons = F.when(F.col("_null"), F.lit("null_text")).otherwise(
         F.array_join(
             F.array_compact(F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])),
             ",",
         )
     )
-    return base.select(
+    return sig.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.coalesce(nt, F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("_nt"), F.lit(0)).alias("n_tokens"),
         reasons.alias("reasons"),
-        (reasons == "").alias("keep"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        "n_tokens",
+        "reasons",
+        (F.col("reasons") == "").alias("keep"),
     )
 
 
