@@ -358,67 +358,59 @@ def semantic_dedup(
 
     Scale shape: the centroid table is tiny by construction and re-planned as
     a local relation (broadcast everywhere, same as ivf_topk); the cluster
-    assignment is one broadcast crossJoin + window; candidate pairs come from
-    the single-scan groupBy(cluster) + sorted-members pair explode
-    (dedup._bucket_pairs — 16-byte id pairs, never two vector copies through
-    a self-join), and full vectors are joined back only for candidate
-    scoring. The only corpus-sized shuffles key on cluster and id — uniform
-    by construction when clusters are sized per the paper.
+    assignment is one broadcast crossJoin + window; the keep decision runs
+    PER CLUSTER in one Arrow task (applyInPandas over cluster groups): each
+    task receives its cluster's (id, vector) rows once — O(m·d) bytes — and
+    computes the m x m cosine block with one BLAS matmul. The r5 shape
+    exploded the same blocks into m(m-1)/2 candidate-pair ROWS and joined
+    two full vector copies onto every pair (~800 MB of Arrow traffic for
+    803k pairs at sf0.1, measured); per-cluster scoring moves each vector
+    exactly once and the pairwise block never leaves the task. The only
+    corpus-sized shuffles key on cluster and id — uniform by construction
+    when clusters are sized per the paper (the per-task O(m^2) decision
+    block is the SAME published per-cluster budget the pair explode had —
+    blocks must fit a task either way; size n_clusters accordingly).
     """
-    from .dedup import _bucket_pairs
-
     cents_rows = centroids if centroids is not None else label_centroids(df, vec_col=vec_col)
     cents = df.sparkSession.createDataFrame(cents_rows.collect(), schema=cents_rows.schema)
-    # referenced twice (cluster blocks + final keep join): lazy-checkpoint so
-    # the crossJoin+window assignment materializes once, not per plan branch
-    assigned = (
-        assign_nearest_centroid(df, cents, id_col, vec_col)
-        .select("vec_id", "cluster")
-        .localCheckpoint(eager=False)
+    assigned = assign_nearest_centroid(df, cents, id_col, vec_col).select("vec_id", "cluster")
+    with_vec = assigned.join(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")), "vec_id"
     )
-    blocks = (
-        assigned.groupBy("cluster")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    # each id sits in exactly one cluster -> every pair emitted once; no distinct
-    cand = _bucket_pairs(blocks, "ids").select(
-        F.col("_a").alias("id_a"), F.col("_b").alias("id_b")
-    )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
 
-    # Arrow-batched pair scoring: cluster-blocked candidates are O(sum of
-    # block^2) — 800k pairs at sf0.1 — and the interpreted higher-order
-    # cosine fold costs ~15x an Arrow/numpy twin (11.6 -> ~1.5 s measured;
-    # the same lesson as make_grams_udf). Safe HERE because the operator
-    # emits only the keep DECISION, not the cosine value: numpy's pairwise
-    # summation order differs from the SQL fold by ulps, which cannot flip
-    # a >= threshold decision at the corpus's decision margin (true pairs
-    # >= 0.987, false <= ~0.54 vs threshold 0.95). Value-emitting operators
-    # (cosine_near_dup_pairs) keep the fold so their oracle hash matches
-    # exactly. num >= t*den avoids the divide; den == 0 (zero vector) never
-    # keeps, matching SQL try_divide -> NULL -> false.
-    def _score(it):
-        import numpy as np
-
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            a = np.stack(pdf["_va"].values)
-            b = np.stack(pdf["_vb"].values)
-            num = np.einsum("ij,ij->i", a, b)
-            den = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
-            keep = (den > 0) & (num >= threshold * den)
-            yield pdf.loc[keep, ["vec_id"]]
-
-    dups = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(F.col("id_b").alias("vec_id"), "_va", "_vb")
-        .mapInPandas(_score, schema="vec_id long")
-        .distinct()
+    # numpy decision scoring is safe HERE because the operator emits only the
+    # keep DECISION, not the cosine value: BLAS summation order differs from
+    # the SQL fold by ulps, which cannot flip a >= threshold decision at the
+    # corpus's decision margin (true pairs >= 0.987, false <= ~0.54 vs
+    # threshold 0.95). Value-emitting operators (cosine_near_dup_pairs) keep
+    # the fold so their oracle hash matches exactly. num >= t*den avoids the
+    # divide; den == 0 (zero vector) never drops, matching SQL try_divide ->
+    # NULL -> false. Keep rule: a member is dropped iff ANY smaller-id member
+    # of the cluster scores >= threshold against it (min-id representative).
+    out_schema = T.StructType(
+        [
+            with_vec.schema["vec_id"],
+            with_vec.schema["cluster"],
+            T.StructField("keep", T.BooleanType()),
+        ]
     )
-    return assigned.join(
-        dups.withColumn("_dup", F.lit(True)), "vec_id", "left"
-    ).select("vec_id", "cluster", F.col("_dup").isNull().alias("keep"))
+
+    def _cluster_keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        V = np.stack(pdf["_v"].to_numpy()[order])
+        num = V @ V.T
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        den = np.outer(nrm, nrm)
+        hit = (den > 0) & (num >= threshold * den)
+        dropped = np.triu(hit, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids_sorted,
+                "cluster": pdf["cluster"].to_numpy()[order],
+                "keep": ~dropped,
+            }
+        )
+
+    return with_vec.groupBy("cluster").applyInPandas(_cluster_keep, schema=out_schema)
