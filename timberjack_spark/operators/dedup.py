@@ -298,20 +298,22 @@ def minhash_near_dups(
     """
     r = k // bands
     sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
+    # ONE transform lambda + posexplode instead of `bands` literal structs:
+    # the unrolled form built a ~300-node expression tree whose py4j
+    # construction + Catalyst planning dominated the query at small scale
+    # (plan build 1.4 s vs 0.1 s execution, measured r6). Hash inputs are
+    # identical (element_at(i+1) == getItem(i), sequence ints == the old
+    # int literals), so every bucket value — and the candidate set — is
+    # bit-identical to the unrolled form.
+    band_buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            *[F.element_at(F.col("_sig"), b * r + j + 1) for j in range(r)], b
+        ),
+    )
     banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("_sig")[b * r + j] for j in range(r)], F.lit(b)).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+        "_id", F.posexplode(band_buckets).alias("band", "bucket")
+    )
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
@@ -392,11 +394,14 @@ def exact_jaccard_verify(
     # arrays, and materialize them once: the higher-order-function shingle
     # expressions are interpreted (not codegen'd), and without the checkpoint
     # each of the sh_a/sh_b branches and their broadcast builds re-evaluates
-    # them (profiled: 2 x ~4 s single-task broadcast builds)
+    # them (profiled: 2 x ~4 s single-task broadcast builds). LAZY checkpoint:
+    # the final job itself materializes-and-caches base the first time a
+    # branch reads it, so the dedup happens without a dedicated driver job
+    # barrier (one fewer job per verify — r6 measurement)
     base = (
         _ensure_parallelism(df.join(hint(cand_ids), F.col(id_col) == F.col("_id"), "left_semi"))
         .select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
@@ -447,10 +452,26 @@ def connected_components(
     k replays rounds 1..k-1). Each round shuffles edges once on dst and once
     on src (both uniform: ids), plus two small label-table joins. The
     convergence check is an exact changed-row count, not a label-sum
-    (a sum of 10^11-scale ids overflows long).
+    (a sum of 10^11-scale ids overflows long) — and it RIDES the round's own
+    pass: the pre-round label is carried through the propagate + jump joins
+    so ``changed`` is a filter-count over the round's one materializing job,
+    not a separate join + count (r5 spent 3 driver job barriers per round —
+    propagate-checkpoint, jump-checkpoint, convergence join — on the same
+    work; measured 1.9 s -> 0.7 s for the 3-round sf0.1 graph). The lazy
+    checkpoints dedupe the pointer jump's two references to the propagate
+    output inside that job and still truncate lineage once materialized.
     """
-    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionByName(
-        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    # materialize the symmetrized edge table ONCE: every round's propagate
+    # join references it, and without the checkpoint each round re-executes
+    # the whole upstream pair pipeline (for near_dup_clusters that is the
+    # LSH candidate generation + exact-Jaccard verify, re-run ~2x per round —
+    # the dominant cost of d_dedup_clusters in r5, measured ~7 re-executions
+    # over a 3-round graph). Edge-endpoint-subgraph-sized, so the
+    # materialization is tiny at any scale.
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("nid"))
@@ -466,11 +487,15 @@ def connected_components(
         )
         step = (
             labels.join(nbr.select(F.col("a").alias("nid"), "_nlbl"), "nid", "left")
-            .select("nid", F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("lbl"))
-            # checkpoint before the self-join: step is referenced twice by the
-            # pointer jump, and Spark re-executes un-materialized subtrees per
-            # plan branch
-            .localCheckpoint(eager=True)
+            # carry the pre-round label so convergence is checkable without a
+            # join back; lazy checkpoint dedupes the pointer jump's double
+            # reference within the materializing job below
+            .select(
+                "nid",
+                F.col("lbl").alias("_old"),
+                F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
         )
         # pointer jump: my label's CURRENT label (labels only ever decrease,
         # so lbl(lbl) <= lbl and least() is just belt-and-braces)
@@ -480,16 +505,13 @@ def connected_components(
                 F.col("lbl") == F.col("_p"),
                 "left",
             )
-            .select("nid", F.least("lbl", F.coalesce("_plbl", "lbl")).alias("lbl"))
-            .localCheckpoint(eager=True)
+            .select("nid", "_old", F.least("lbl", F.coalesce("_plbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.select("nid", F.col("lbl").alias("_new"))
-            .join(labels, "nid")
-            .filter(F.col("_new") != F.col("lbl"))
-            .count()
-        )
-        labels = jumped
+        # ONE job: materializes step+jumped (truncating lineage) AND counts
+        # this round's label changes
+        changed = jumped.filter(F.col("lbl") != F.col("_old")).count()
+        labels = jumped.select("nid", "lbl")
         if changed == 0:
             break
     return labels.select("nid", F.col("lbl").alias("cluster_id"))

@@ -163,9 +163,13 @@ def _make_update_fn(idle_timeout_ms: int | None):
         n_turns, n_errors, last_idx = state.get if state.exists else (0, 0, -1)
         for pdf in pdfs:
             n_turns += len(pdf)
-            n_errors += int((pdf["category"] == "errors").sum())
+            # _is_err is precomputed JVM-side (see conv_session_stats): the
+            # python side sums a small int column instead of string-comparing
+            # every category value per group — per-group time is the cost
+            # driver of this stage (thousands of groups cross the boundary)
+            n_errors += int(pdf["_is_err"].to_numpy().sum())
             if len(pdf):
-                last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+                last_idx = max(last_idx, int(pdf["turn_idx"].to_numpy().max()))
         state.update((n_turns, n_errors, last_idx))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
@@ -190,7 +194,14 @@ def conv_session_stats(parsed: DataFrame, idle_timeout_ms: int | None = None) ->
         else GroupStateTimeout.NoTimeout
     )
     return (
-        parsed.select("conv_id", "turn_idx", "category")
+        parsed.select(
+            "conv_id",
+            "turn_idx",
+            # error flag computed BEFORE the python boundary: ships one small
+            # int instead of the category string and removes the per-group
+            # pandas string compare (guide §4 — pass only what the fn needs)
+            (F.col("category") == "errors").cast("long").alias("_is_err"),
+        )
         .groupBy("conv_id")
         .applyInPandasWithState(
             _make_update_fn(idle_timeout_ms),
