@@ -41,6 +41,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the norms supplied as precomputed columns: the aggregate
+    folds are interpreted (not codegen'd), so a pair-scoring join that calls
+    plain ``cosine`` re-folds BOTH norms per pair — 192 lambda steps instead
+    of the 64 the dot product needs. Computing each side's norm once in its
+    projection (same fold expression over the same array -> bit-identical
+    double) and multiplying the columns here keeps every emitted value
+    hash-identical while cutting interpreted work 3x on the pair volume
+    (measured: e_cosine_pairs 2.9 -> 1.7 s at sf0.1 over 168k candidates)."""
+    return F.try_divide(dot(a, b), na * nb)
+
+
 def _partition_topk_fn(k: int):
     """mapInPandas partition-local top-k: keeps at most k rows per query_id
     per input partition under the (cos desc, neighbor_id asc) order — the same
@@ -80,16 +92,22 @@ def brute_force_topk(
     100 TB of scores and one over a few thousand rows on a real cluster.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("_nq"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("_nc"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+            F.round(
+                cosine_prenorm(F.col("q_vec"), F.col("c_vec"), F.col("_nq"), F.col("_nc")), 6
+            ).alias("cos"),
         )
     )
     # id fields keep the INPUT id types (string doc ids work, not just longs)
@@ -169,15 +187,23 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("_nc"),
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("_nq"),
+    )
     scored = (
         cand.join(c_vecs, "neighbor_id")
         .join(F.broadcast(q_vecs), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+            F.round(
+                cosine_prenorm(F.col("q_vec"), F.col("c_vec"), F.col("_nq"), F.col("_nc")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -210,12 +236,22 @@ def assign_nearest_centroid(
     df: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(vec_id, cluster, cos): nearest centroid by cosine (broadcast cross join —
-    centroid count is tiny by construction), deterministic label tiebreak."""
-    cents = centroids.select(F.col("label").alias("_cl"), F.col("centroid").alias("_cv"))
-    scored = df.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col).alias("vec_id"),
-        F.col("_cl").alias("cluster"),
-        F.round(cosine(F.col(vec_col), F.col("_cv")), 6).alias("cos"),
+    centroid count is tiny by construction), deterministic label tiebreak.
+    Norms are folded once per row / per centroid (see cosine_prenorm), not per
+    (row, centroid) pair."""
+    cents = centroids.select(
+        F.col("label").alias("_cl"), F.col("centroid").alias("_cv"), norm(F.col("centroid")).alias("_ncv")
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nv"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("_cl").alias("cluster"),
+            F.round(
+                cosine_prenorm(F.col(vec_col), F.col("_cv"), F.col("_nv"), F.col("_ncv")), 6
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
     return scored.withColumn("_r", F.row_number().over(w)).filter("_r = 1").drop("_r")
@@ -322,15 +358,21 @@ def cosine_near_dup_pairs(
         .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), norm(F.col(vec_col)).alias("_na")
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), norm(F.col(vec_col)).alias("_nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+            F.round(
+                cosine_prenorm(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
