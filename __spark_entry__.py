@@ -698,23 +698,26 @@ def _q_curation_pipeline(spark, sf_dir):
     from timberjack_spark.operators.splits import split_expr
 
     d = _tbl(spark, sf_dir, "documents")
-    q = quality_filter(d).select(
-        "doc_id", F.col("keep").alias("keep_quality")
+    # quality signals + content hash fused into ONE scan (keep_cols
+    # passthrough), and is_dup decided by a window over the md5 partition —
+    # one shuffle on the content hash instead of the r5 groupBy + join-back
+    # (two shuffles + an extra join). The isNotNull filter mirrors the
+    # oracle's JOIN ON md5(text) semantics (a null text never matches), so
+    # the output row set is unchanged on any input.
+    q = quality_filter(d.withColumn("_h", F.md5("text")), keep_cols=("_h",)).select(
+        "doc_id", F.col("keep").alias("keep_quality"), "_h"
     )
-    reps = (
-        d.groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("_rep"))
-    )
-    dup = (
-        d.select("doc_id", F.md5("text").alias("_h"))
-        .join(reps, "_h")
-        .select("doc_id", (F.col("doc_id") != F.col("_rep")).alias("is_dup"))
+    qd = (
+        q.filter(F.col("_h").isNotNull())
+        .withColumn(
+            "is_dup", F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("_h"))
+        )
+        .drop("_h")
     )
     ev = d.filter(F.col("doc_id") % 7 == 0)
     contam = decontaminate_flags(d, ev, n=8).select("doc_id", "contaminated")
     out = (
-        q.join(dup, "doc_id")
-        .join(contam, "doc_id")
+        qd.join(contam, "doc_id")
         .withColumn("split", split_expr(F.col("doc_id"), "v1", None))
         .withColumn(
             "admitted",

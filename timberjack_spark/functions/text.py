@@ -183,18 +183,43 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     df = _ensure_parallelism(df)
     t = F.col(text_col)
-    return df.withColumns(
+    # layered projections so each interpreted signal evaluates ONCE:
+    # quality_score(t)/stopword_ratio(t) inline would re-fold the token
+    # split, punct regexp and stopword filter a second and third time per
+    # row (the quality_filter lesson — identical rounded expressions, so
+    # every derived value is bit-identical to the inlined form).
+    base = df.withColumns(
         {
             "n_tokens": token_count(t),
             "n_chars": F.length(t),
             "punct_ratio": punct_ratio(t),
-            "stopword_ratio": stopword_ratio(t),
-            "quality": quality_score(t),
+            "_sw_en": stopword_count(t),
             # Arrow twin of lang_id: the 4-language interpreted vote was the
             # dominant cost of this stage (see make_lang_id_udf)
             "lang_guess": make_lang_id_udf()(t),
             "fingerprint": fingerprint(t),
         }
+    )
+    sr = F.round(
+        F.coalesce(F.try_divide(F.col("_sw_en"), F.col("n_tokens")), F.lit(0.0)), 6
+    )
+    n = F.col("n_chars")
+    len_score = F.when((n >= 64) & (n <= 4096), 1.0).when(n > 4096, 0.7).otherwise(
+        F.round(n / F.lit(64.0), 6)
+    )
+    punct_score = F.when(F.col("punct_ratio") < 0.2, 1.0).otherwise(0.5)
+    with_sr = base.withColumn("stopword_ratio", sr)
+    stop_score = F.when(F.col("stopword_ratio") > 0.05, 1.0).otherwise(0.6)
+    quality = F.round(len_score * 0.5 + punct_score * 0.25 + stop_score * 0.25, 6)
+    return with_sr.withColumn("quality", quality).select(
+        *df.columns,
+        "n_tokens",
+        "n_chars",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "lang_guess",
+        "fingerprint",
     )
 
 
