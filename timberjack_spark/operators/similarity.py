@@ -253,8 +253,18 @@ def assign_nearest_centroid(
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
-    return scored.withColumn("_r", F.row_number().over(w)).filter("_r = 1").drop("_r")
+    # argmax via min(struct(-cos, cluster)): identical pick to the previous
+    # row_number window (cos desc, cluster asc — double negation is exact, so
+    # the tiebreak and the re-negated cos are bit-identical), but runs as a
+    # hash aggregate with map-side partial aggregation instead of a
+    # sort-based window — no per-partition sort, and the shuffle carries one
+    # partial row per (vec, map task) instead of every scored pair.
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("cos")).alias("nc"), F.col("cluster").alias("cl"))).alias("_m")
+    )
+    return best.select(
+        "vec_id", F.col("_m.cl").alias("cluster"), (-F.col("_m.nc")).alias("cos")
+    )
 
 
 def ivf_topk(
