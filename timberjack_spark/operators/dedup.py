@@ -824,8 +824,13 @@ def decontaminate_flags(
     # costs ~45x more cpu per doc (see make_grams_udf). _ensure_parallelism
     # spreads a small single-file scan across cores (no-op at scale).
     grams = make_grams_udf(n)
+    # NO _ensure_parallelism on the eval side: the eval corpus is benchmark-
+    # sized and the gram UDF is Arrow-batched, so the repartition's extra
+    # shuffle stage costs more than the parallelism buys (measured 0.59 ->
+    # 0.33 s at sf0.1; the interpreted-expression paths that need the guard
+    # keep it — see exact_jaccard_verify)
     g_eval = (
-        _ensure_parallelism(eval_df.select(F.col(text_col)))
+        eval_df.select(F.col(text_col))
         .select(F.explode(grams(F.col(text_col))).alias("_g"))
         .filter(F.col("_g").isNotNull())
         .distinct()
@@ -885,8 +890,10 @@ def contamination_report(
     the training corpus.
     """
     grams = make_grams_udf(n)
+    # eval side: Arrow-batched UDF over a benchmark-sized corpus — the
+    # repartition stage costs more than it buys (see decontaminate_flags)
     g_eval = (
-        _ensure_parallelism(eval_df.select(F.col(id_col), F.col(text_col)))
+        eval_df.select(F.col(id_col), F.col(text_col))
         .select(F.col(id_col).alias("_eid"), F.explode(grams(F.col(text_col))).alias("_g"))
         .filter(F.col("_g").isNotNull())
     )

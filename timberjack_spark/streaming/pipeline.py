@@ -406,7 +406,7 @@ def run_stream_decontam_once(
     doc within a bounded replay horizon). Mirrors the complete-vs-append
     discussion in run_stream_session_windows_once.
     """
-    from ..operators.dedup import _ensure_parallelism, make_grams_udf
+    from ..operators.dedup import make_grams_udf
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="tj_decontam_ckpt_")
     # materialize the static side ONCE before the stream starts: a
@@ -419,8 +419,11 @@ def run_stream_decontam_once(
     # argument as batch decontaminate_flags (hash collisions against a
     # 10^11+-gram corpus approach O(1) false flags)
     grams = make_grams_udf(n)
+    # eval side: Arrow-batched UDF over a benchmark-sized corpus — no
+    # repartition; its extra shuffle stage costs more than it buys at the
+    # one-time-build size (see batch decontaminate_flags)
     g_eval = (
-        _ensure_parallelism(eval_df.select("text"))
+        eval_df.select("text")
         .select(F.explode(grams(F.col("text"))).alias("_g"))
         .filter(F.col("_g").isNotNull())
         .distinct()
