@@ -325,9 +325,13 @@ def quality_filter(
     repetition rules add the two-level (doc,token)->doc hash aggregation and
     a doc_id equi-join back — both keys uniform, both partial-aggregated
     map-side; the join is co-partitioned on the id and adds one shuffle of
-    (id, 2 doubles). Null/empty texts produce no token rows, so their
-    dup_frac/top_frac are NULL and the repetition rules pass them through —
-    null_text/too_short already dropped them.
+    (id, 2 doubles). Null texts produce no token rows (explode of a null
+    split), so their dup_frac/top_frac are NULL and the repetition rules
+    pass them through — null_text already dropped them. Empty/whitespace-only
+    texts DO carry one ''-token row (F.split of '' yields ['']), so
+    top_frac = 1.0 and top_token_dominance fires alongside too_short — the
+    ADVICE-r5-noted behavior, kept as-is because the reasons string is a
+    hash-compared contract (the DuckDB twin splits identically).
     """
     # the rule signals are regexp-heavy per-row work computed below the first
     # exchange; a small single-file corpus scans as ONE partition and books

@@ -33,7 +33,10 @@ def chunk_documents(
     document order; the final chunk may be shorter). Tokenization rides the
     shared contract (ws_trim + WS-class split); null/empty documents emit no
     chunks. A window start is emitted iff it is < the document's token count,
-    so no empty trailing chunk exists and every token lands in >= 1 chunk."""
+    so no empty trailing chunk exists and — provided ``stride <= window`` —
+    every token lands in >= 1 chunk (with ``stride > window`` the operator
+    still runs but tokens between a window's end and the next start are
+    deliberately skipped: that is subsampling, not coverage)."""
     if window < 1 or stride < 1:
         raise ValueError(f"window and stride must be >= 1: {window}, {stride}")
     toks = F.split(ws_trim(F.col(text_col)), osql.WS_CLASS_RE + "+")

@@ -439,6 +439,12 @@ def connected_components(
     """(nid, cluster_id) for every node appearing in ``edges``, with
     cluster_id = the minimum node id reachable in the undirected graph.
 
+    Numeric-id contract (same as the minhash cap sentinel): labels are the
+    node ids cast to long, so node ids must be integral (or castable
+    losslessly) — a non-numeric string id would cast to NULL and corrupt
+    clustering silently. Content-hash or fixture ids satisfy this; hash
+    string ids to int64 first if needed.
+
     Iterative min-label propagation with a pointer-jumping step (each round:
     label <- min over neighbours' labels, then label <- label's label), so
     rounds needed are O(log diameter), not O(diameter) — near-dup components
@@ -741,6 +747,12 @@ def ngram_jaccard_pairs(
     expressions evaluated BELOW the block-key exchange, i.e. on the scan's
     partitioning — a small single-file corpus would compute every shingle
     array on ONE core. Measured at sf0.1: 126 s -> 6 s. No-op at real scale.
+
+    NULL block keys: groupBy treats NULL as a regular group, so rows with a
+    NULL blocking value pair WITH EACH OTHER — unlike the pre-r5 self-join
+    (SQL equi-joins never match NULL), and unlike a join-based oracle. The
+    fixtures carry no NULL block columns; pre-filter NULL keys if yours do
+    and you want join semantics.
     """
     base = _ensure_parallelism(df).select(
         *[F.col(c) for c in block_cols],
