@@ -163,6 +163,51 @@ def make_lang_id_udf():
     return _lang
 
 
+def make_repetition_counts_udf():
+    """Arrow-batched per-document token-multiset counts for the Gopher
+    repetition rules: ``(_ntot, _nd, _tc)`` = total whitespace tokens,
+    distinct tokens, top token's count — as LONGS, so the caller derives
+    dup_frac/top_frac with the IDENTICAL JVM divide/round expressions the
+    r5 explode + two-level aggregation produced (bit-exact by construction,
+    no float-parity argument needed).
+
+    Why: the aggregation path shuffled every (doc, token) row twice and
+    joined back on doc_id — three exchanges for values that are a pure
+    per-document function. One Arrow pass in the same scan computes them
+    with zero shuffle (guide §4.2); the per-doc Counter is bounded by one
+    document's token multiset, the same per-doc memory contract
+    make_grams_udf already carries. Tokenization is the shared contract:
+    ws_trim charset strip + WS-class split — '' yields the single ''-token
+    (top_frac 1.0, the documented empty-text behavior) and null text yields
+    null counts (the aggregation's missing-row -> NULL-fracs semantics)."""
+    import re
+
+    from collections import Counter
+
+    from .extract import _WS
+
+    ws_re = re.compile("[" + _WS + "]+")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("_ntot long, _nd long, _tc long")
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        ntot, nd, tc = [], [], []
+        for t in texts:
+            if t is None:
+                ntot.append(None)
+                nd.append(None)
+                tc.append(None)
+                continue
+            c = Counter(ws_re.split(t.strip(_WS)))
+            ntot.append(sum(c.values()))
+            nd.append(len(c))
+            tc.append(max(c.values()))
+        return pd.DataFrame({"_ntot": ntot, "_nd": nd, "_tc": tc})
+
+    return rep
+
+
 def fingerprint(text: Column) -> Column:
     """Polynomial rolling hash over UTF-8 code points (mod 1e9+7) — a
     deterministic document fingerprint computed entirely JVM-side via
@@ -322,16 +367,16 @@ def quality_filter(
     in both engines.
 
     Scale shape: the base rules are one projection over one scan. The
-    repetition rules add the two-level (doc,token)->doc hash aggregation and
-    a doc_id equi-join back — both keys uniform, both partial-aggregated
-    map-side; the join is co-partitioned on the id and adds one shuffle of
-    (id, 2 doubles). Null texts produce no token rows (explode of a null
-    split), so their dup_frac/top_frac are NULL and the repetition rules
-    pass them through — null_text already dropped them. Empty/whitespace-only
-    texts DO carry one ''-token row (F.split of '' yields ['']), so
-    top_frac = 1.0 and top_token_dominance fires alongside too_short — the
-    ADVICE-r5-noted behavior, kept as-is because the reasons string is a
-    hash-compared contract (the DuckDB twin splits identically).
+    repetition rules add ONE Arrow-batched pass in the same scan
+    (make_repetition_counts_udf) producing the per-doc token counts the
+    fracs divide — zero additional shuffle (the r5 two-level aggregation +
+    doc_id join-back paid three exchanges for the same per-row function).
+    Null texts get null counts, so their dup_frac/top_frac are NULL and the
+    repetition rules pass them through — null_text already dropped them.
+    Empty/whitespace-only texts DO carry one ''-token (the WS-split of ''),
+    so top_frac = 1.0 and top_token_dominance fires alongside too_short —
+    the ADVICE-r5-noted behavior, kept as-is because the reasons string is
+    a hash-compared contract (the DuckDB twin splits identically).
     """
     # the rule signals are regexp-heavy per-row work computed below the first
     # exchange; a small single-file corpus scans as ONE partition and books
@@ -348,26 +393,29 @@ def quality_filter(
     # measured 1.70 s -> 0.95 s at sf0.1 for the identical output.
     # CollapseProject leaves the split alone because the signal columns are
     # referenced more than once and are not cheap.
-    sig = df.select(
+    use_rep = max_dup_frac is not None or max_top_frac is not None
+    proj = [
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         t.isNull().alias("_null"),
         token_count(t).alias("_nt"),
         punct_ratio(t).alias("_pr"),
         stopword_ratio(t).alias("_sr"),
-    )
-    use_rep = max_dup_frac is not None or max_top_frac is not None
+    ]
     if use_rep:
-        c = (
-            df.select(F.col(id_col), F.explode(F.split(ws_trim(t), WS_CLASS + "+")).alias("_tk"))
-            .groupBy(id_col, "_tk")
-            .agg(F.count(F.lit(1)).alias("_c"))
+        # per-doc counts from one Arrow pass in the SAME scan (see
+        # make_repetition_counts_udf) — the r5 explode + two-level agg +
+        # doc_id join-back paid three exchanges for a per-row function;
+        # the frac expressions below are the identical long-division/round
+        # trees, so every emitted value is bit-identical.
+        proj.append(make_repetition_counts_udf()(t).alias("_rc"))
+    sig = df.select(*proj)
+    if use_rep:
+        sig = sig.select(
+            "*",
+            F.round(F.lit(1) - F.col("_rc._nd") / F.col("_rc._ntot"), 6).alias("_dup_frac"),
+            F.round(F.col("_rc._tc") / F.col("_rc._ntot"), 6).alias("_top_frac"),
         )
-        rep = c.groupBy(id_col).agg(
-            F.round(F.lit(1) - F.count(F.lit(1)) / F.sum("_c"), 6).alias("_dup_frac"),
-            F.round(F.max("_c") / F.sum("_c"), 6).alias("_top_frac"),
-        )
-        sig = sig.join(rep, id_col, "left")
     rules = [
         ("too_short", F.col("_nt") < min_tokens),
         ("too_long", F.col("_nt") > max_tokens),
