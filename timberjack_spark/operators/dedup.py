@@ -391,16 +391,18 @@ def exact_jaccard_verify(
         F.explode(F.array("id_a", "id_b")).alias("_id")
     ).distinct()
     # prune FIRST (broadcast semi join), parallelize, THEN build shingle
-    # arrays, and materialize them once: the higher-order-function shingle
-    # expressions are interpreted (not codegen'd), and without the checkpoint
-    # each of the sh_a/sh_b branches and their broadcast builds re-evaluates
-    # them (profiled: 2 x ~4 s single-task broadcast builds). LAZY checkpoint:
-    # the final job itself materializes-and-caches base the first time a
-    # branch reads it, so the dedup happens without a dedicated driver job
-    # barrier (one fewer job per verify — r6 measurement)
+    # arrays — via the Arrow grams UDF, whose output is pinned byte-identical
+    # to the shingles() expression (make_grams_udf docstring + fuzz twin), so
+    # the jaccard arithmetic downstream sees the same arrays while the
+    # per-doc cost drops ~15x vs the interpreted higher-order expression —
+    # and materialize them once. LAZY checkpoint: the final job itself
+    # materializes-and-caches base the first time a branch reads it, so the
+    # dedup happens without a dedicated driver job barrier (without any
+    # checkpoint each of the sh_a/sh_b branches and their broadcast builds
+    # re-evaluates the gram stage).
     base = (
         _ensure_parallelism(df.join(hint(cand_ids), F.col(id_col) == F.col("_id"), "left_semi"))
-        .select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
+        .select(F.col(id_col).alias("_id"), make_grams_udf(n)(F.col(text_col)).alias("_sh"))
         .localCheckpoint(eager=False)
     )
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
@@ -757,9 +759,11 @@ def ngram_jaccard_pairs(
     base = _ensure_parallelism(df).select(
         *[F.col(c) for c in block_cols],
         # id FIRST: array_sort orders structs field-by-field, so members sort
-        # by id and the pair explode emits id_a < id_b by construction
+        # by id and the pair explode emits id_a < id_b by construction.
+        # Arrow grams UDF, byte-identical to the shingles() expression
+        # (make_grams_udf contract) at ~15x less per-doc cpu.
         F.struct(
-            F.col(id_col).alias("i"), shingles(F.col(text_col), n).alias("s")
+            F.col(id_col).alias("i"), make_grams_udf(n)(F.col(text_col)).alias("s")
         ).alias("_m"),
     )
     blocks = (
