@@ -452,11 +452,22 @@ def semantic_dedup(
         order = np.argsort(ids, kind="stable")
         ids_sorted = ids[order]
         V = np.stack(pdf["_v"].to_numpy()[order])
-        num = V @ V.T
+        m = len(ids_sorted)
         nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
-        den = np.outer(nrm, nrm)
-        hit = (den > 0) & (num >= threshold * den)
-        dropped = np.triu(hit, k=1).any(axis=0)
+        dropped = np.zeros(m, dtype=bool)
+        # row-chunked upper-triangle sweep: peak extra memory is one
+        # (chunk, m) block (~64 MB budget) instead of the full m x m
+        # matrix, so an oversized cluster degrades to more matmul calls,
+        # never a task OOM; per-cell arithmetic identical to the full block
+        step = max(1, int(64e6 // (8 * max(m, 1))))
+        jj = np.arange(m)[None, :]
+        for s in range(0, m, step):
+            e = min(s + step, m)
+            num = V[s:e] @ V.T                      # (chunk, m)
+            den = nrm[s:e, None] * nrm[None, :]
+            hit = (den > 0) & (num >= threshold * den)
+            ii = np.arange(s, e)[:, None]
+            dropped |= (hit & (ii < jj)).any(axis=0)
         return pd.DataFrame(
             {
                 "vec_id": ids_sorted,
