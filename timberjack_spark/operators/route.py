@@ -36,17 +36,27 @@ def _anomaly_pred(text: Column) -> Column:
     return pred
 
 
+def errors_pred(level: Column = None, error_type: Column = None) -> Column:
+    """The router's first-match 'errors' branch as a standalone predicate:
+    ``category == 'errors'`` is true iff this is (first match wins), so a
+    consumer that only needs the error flag can evaluate THIS instead of the
+    full 4-branch case-when (which drags the anomaly multi-contains and
+    tool/role compares into every row — measured on the streaming
+    conv-stats drain, where the flag is the only category use)."""
+    level = level if level is not None else F.col("level")
+    error_type = error_type if error_type is not None else F.col("error_type")
+    return F.upper(level).isin("ERROR", "SEVERE") | (error_type != "")
+
+
 def category_col(
     level: Column = None, error_type: Column = None, tool: Column = None,
     role: Column = None, text: Column = None,
 ) -> Column:
-    level = level if level is not None else F.col("level")
-    error_type = error_type if error_type is not None else F.col("error_type")
     tool = tool if tool is not None else F.col("tool")
     role = role if role is not None else F.col("role")
     text = text if text is not None else F.col("text")
     return (
-        F.when(F.upper(level).isin("ERROR", "SEVERE") | (error_type != ""), F.lit("errors"))
+        F.when(errors_pred(level, error_type), F.lit("errors"))
         .when((tool != "") | (role == "tool"), F.lit("tool-calls"))
         .when(_anomaly_pred(text), F.lit("anomalies"))
         .otherwise(F.lit("dialogue"))

@@ -193,14 +193,20 @@ def conv_session_stats(parsed: DataFrame, idle_timeout_ms: int | None = None) ->
         if idle_timeout_ms is not None
         else GroupStateTimeout.NoTimeout
     )
+    from ..operators.route import errors_pred
+
     return (
         parsed.select(
             "conv_id",
             "turn_idx",
             # error flag computed BEFORE the python boundary: ships one small
             # int instead of the category string and removes the per-group
-            # pandas string compare (guide §4 — pass only what the fn needs)
-            (F.col("category") == "errors").cast("long").alias("_is_err"),
+            # pandas string compare (guide §4 — pass only what the fn needs).
+            # errors_pred, not category == 'errors': identical by the
+            # router's first-match contract, and it lets Catalyst prune the
+            # whole category case-when (anomaly multi-contains, tool/role
+            # compares) out of the per-row parse.
+            errors_pred().cast("long").alias("_is_err"),
         )
         .groupBy("conv_id")
         .applyInPandasWithState(
