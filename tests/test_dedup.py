@@ -346,3 +346,39 @@ def test_contamination_report_per_eval_doc(spark):
     assert out[101] == (1, 1, True)   # whole-text fallback
     assert out[102] == (0, 0, False)  # restored clean
     assert len(out) == 3
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Pin the r6 fused-propagate round (self-loop edges fold the old label
+    into the one groupBy — see connected_components docstring) against a
+    plain union-find over a deterministic pseudo-random graph: every node
+    labeled, labels = component minima, rounds converge."""
+    from timberjack_spark.operators.dedup import connected_components
+
+    # deterministic scatter of 60 edges over 80 node ids (LCG, no RNG import)
+    edges, x = [], 7
+    for _ in range(60):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 80
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 80
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    parent = list(range(80))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["nid"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == want

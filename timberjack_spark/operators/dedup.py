@@ -458,7 +458,7 @@ def connected_components(
     no pair never enter the loop), localCheckpoint'd each round to cut the
     growing lineage (the standard Spark iteration pattern — without it round
     k replays rounds 1..k-1). Each round shuffles edges once on dst and once
-    on src (both uniform: ids), plus two small label-table joins. The
+    on src (both uniform: ids), plus the pointer-jump self-join. The
     convergence check is an exact changed-row count, not a label-sum
     (a sum of 10^11-scale ids overflows long) — and it RIDES the round's own
     pass: the pre-round label is carried through the propagate + jump joins
@@ -468,6 +468,19 @@ def connected_components(
     work; measured 1.9 s -> 0.7 s for the 3-round sf0.1 graph). The lazy
     checkpoints dedupe the pointer jump's two references to the propagate
     output inside that job and still truncate lineage once materialized.
+
+    Self-loop trick (r6): the edge table carries one (n, n) row per node, so
+    the propagate join's min over neighbour labels already includes the
+    node's OWN label — ``least(old, min_nbr)`` falls out of the ONE
+    groupBy, and the old label rides the same aggregate as
+    ``min(lbl) filter (a == b)`` (exactly the self-loop row). The r5 shape
+    re-joined the label table onto the neighbour minima per round to
+    recover old labels; that join (and its exchange of the full label
+    table) is gone — per-round cost is one edge join + one aggregate + the
+    jump self-join, at any scale. Values are identical: min over
+    (neighbours ∪ self) IS least(own, min-neighbour), and every node
+    appears in its own self-loop, so the old left-join's
+    no-neighbour coalesce case cannot occur.
     """
     # materialize the symmetrized edge table ONCE: every round's propagate
     # join references it, and without the checkpoint each round re-executes
@@ -487,22 +500,24 @@ def connected_components(
         .select("nid", F.col("nid").cast("long").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # self-loops ride the edge table (see docstring): |V| extra rows next to
+    # 2|E|, checkpointed once alongside sym so rounds union two RDD scans
+    sym = sym.unionByName(
+        labels.select(F.col("nid").alias("a"), F.col("nid").alias("b"))
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
-        nbr = (
+        step = (
             sym.join(labels.select(F.col("nid").alias("b"), F.col("lbl").alias("_blbl")), "b")
             .groupBy("a")
-            .agg(F.min("_blbl").alias("_nlbl"))
-        )
-        step = (
-            labels.join(nbr.select(F.col("a").alias("nid"), "_nlbl"), "nid", "left")
-            # carry the pre-round label so convergence is checkable without a
-            # join back; lazy checkpoint dedupes the pointer jump's double
-            # reference within the materializing job below
-            .select(
-                "nid",
-                F.col("lbl").alias("_old"),
-                F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("lbl"),
+            # min over (neighbours ∪ self) = least(old, min-neighbour); the
+            # self-loop row is the pre-round label, carried so convergence is
+            # checkable without a join back. Lazy checkpoint dedupes the
+            # pointer jump's double reference within the materializing job.
+            .agg(
+                F.min("_blbl").alias("lbl"),
+                F.min(F.when(F.col("a") == F.col("b"), F.col("_blbl"))).alias("_old"),
             )
+            .select(F.col("a").alias("nid"), "_old", "lbl")
             .localCheckpoint(eager=False)
         )
         # pointer jump: my label's CURRENT label (labels only ever decrease,
